@@ -1,0 +1,364 @@
+"""Batched Kalman filter over a fixed-capacity slot pool.
+
+TPU-first re-design of the reference's ``Torch_KF`` (util_track/kf.py): one
+filter instance tracks *all* objects simultaneously via batched matmuls. The
+reference grows/shrinks its tensors on add/remove (kf.py:159-262); here the
+pool has a fixed capacity ``N`` and a validity mask, so every kernel is a
+fixed-shape jitted function — no recompiles, no host ping-pong, and the whole
+filter fuses into the tracker's single on-device step.
+
+Numerics reproduced from the reference:
+  * state [x, y, l, w, h, v]; measurement [x, y, l, w, h]  (kf.py:37-38)
+  * constant-velocity model with direction-signed, per-object dt:
+    F[0,5] = direction * dt                                (kf.py:309-311)
+  * process noise scaled linearly with dt: Q * dt/dt_default (kf.py:321-325)
+  * innovation y = z + mu_R - H x                          (kf.py:376)
+  * three measurement models: 1 = full detection (H,R), 2 = crop
+    re-detection (H2,R2), 3 = class-size nudge (H3,R3)     (kf.py:350-361)
+
+Absolute timestamps stay on the host in float64 (UNIX seconds exceed f32
+precision); the device only ever sees per-slot dt deltas.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from playground3d_tpu.utils.constants import CLASS_DIMS, DT_DEFAULT
+
+STATE_SIZE = 6
+MEAS_SIZE = 5
+
+
+class KFParams(NamedTuple):
+    """Filter constants (a pytree; ship once to device)."""
+
+    F: jnp.ndarray  # [6,6] base dynamics (F[0,5] overwritten per object)
+    H: jnp.ndarray  # [5,6] detection measurement model
+    R: jnp.ndarray  # [5,5]
+    mu_R: jnp.ndarray  # [5]
+    Q: jnp.ndarray  # [6,6]
+    mu_Q: jnp.ndarray  # [6]
+    P0: jnp.ndarray  # [6,6] initial covariance
+    H2: jnp.ndarray  # [5,6] crop-measurement model
+    R2: jnp.ndarray  # [5,5]
+    mu_R2: jnp.ndarray  # [5]
+    H3: jnp.ndarray  # [3,6] class-size measurement model (l,w,h)
+    R3: jnp.ndarray  # [3,3]
+    mu_R3: jnp.ndarray  # [3]
+    mu_v: jnp.ndarray  # [] mean initial speed (ft/s)
+    class_size: jnp.ndarray  # [n_cls,3] mean l,w,h per class
+    class_covariance: jnp.ndarray  # [n_cls,3,3]
+
+
+def default_params(
+    state_err: float = 10000.0, meas_err: float = 1.0, mod_err: float = 1.0
+) -> KFParams:
+    """Defaults mirroring the reference's naive setup (kf.py:55-68 and the
+    __main__ fallback in minimal_3D_track.py:1048-1097)."""
+    eye6 = np.eye(STATE_SIZE, dtype=np.float32)
+    H = np.zeros((MEAS_SIZE, STATE_SIZE), dtype=np.float32)
+    H[:MEAS_SIZE, :MEAS_SIZE] = np.eye(MEAS_SIZE)
+    H3 = np.zeros((3, STATE_SIZE), dtype=np.float32)
+    H3[0, 2] = H3[1, 3] = H3[2, 4] = 1.0
+    P0 = np.diag([10.0, 100.0, 100.0, 100.0, 100.0, 10000.0]).astype(np.float32)
+    n_cls = CLASS_DIMS.shape[0]
+    return KFParams(
+        F=jnp.asarray(eye6),
+        H=jnp.asarray(H),
+        R=jnp.asarray(np.eye(MEAS_SIZE, dtype=np.float32) * meas_err),
+        mu_R=jnp.zeros(MEAS_SIZE, dtype=jnp.float32),
+        Q=jnp.asarray(eye6 * mod_err),
+        mu_Q=jnp.zeros(STATE_SIZE, dtype=jnp.float32),
+        P0=jnp.asarray(P0 * (state_err / 10000.0) if state_err != 10000.0 else P0),
+        H2=jnp.asarray(H),
+        R2=jnp.asarray(np.eye(MEAS_SIZE, dtype=np.float32) * meas_err),
+        mu_R2=jnp.zeros(MEAS_SIZE, dtype=jnp.float32),
+        H3=jnp.asarray(H3),
+        R3=jnp.asarray(np.eye(3, dtype=np.float32) * 3.0),
+        mu_R3=jnp.zeros(3, dtype=jnp.float32),
+        mu_v=jnp.asarray(30.0, dtype=jnp.float32),
+        class_size=jnp.asarray(CLASS_DIMS),
+        class_covariance=jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (n_cls, 1, 1))),
+    )
+
+
+def params_from_arrays(d: Dict[str, np.ndarray]) -> KFParams:
+    """Build KFParams from a dict of numpy arrays (e.g. the output of
+    train.fit_kf or a converted reference kf_params pickle)."""
+    base = default_params()._asdict()
+    for k, v in d.items():
+        if k in base:
+            base[k] = jnp.asarray(np.asarray(v, dtype=np.float32))
+    return KFParams(**base)
+
+
+class KFSlots(NamedTuple):
+    """Device-side filter state (a pytree). ``mask`` marks live slots."""
+
+    x: jnp.ndarray  # [N,6] float32
+    P: jnp.ndarray  # [N,6,6] float32
+    d: jnp.ndarray  # [N] float32 direction (+1/-1)
+    mask: jnp.ndarray  # [N] bool
+
+
+def init_slots(capacity: int) -> KFSlots:
+    return KFSlots(
+        x=jnp.zeros((capacity, STATE_SIZE), dtype=jnp.float32),
+        P=jnp.zeros((capacity, STATE_SIZE, STATE_SIZE), dtype=jnp.float32),
+        d=jnp.ones((capacity,), dtype=jnp.float32),
+        mask=jnp.zeros((capacity,), dtype=bool),
+    )
+
+
+def _f_rep(slots: KFSlots, dt: jnp.ndarray, params: KFParams) -> jnp.ndarray:
+    """Per-object dynamics matrices: F with F[0,5] = direction * dt
+    (reference kf.py:309-311)."""
+    n = slots.x.shape[0]
+    F = jnp.broadcast_to(params.F, (n, STATE_SIZE, STATE_SIZE))
+    return F.at[:, 0, 5].set(slots.d * dt)
+
+
+@jax.jit
+def kf_view(slots: KFSlots, dt: jnp.ndarray, params: KFParams) -> jnp.ndarray:
+    """Predicted states at +dt without mutating the filter ([N] dt -> [N,6]).
+    (reference kf.py:264-289 ``view``)"""
+    dt = jnp.where(slots.mask, dt, 0.0)
+    F = _f_rep(slots, dt, params)
+    return jnp.einsum("nij,nj->ni", F, slots.x)
+
+
+@jax.jit
+def kf_predict(slots: KFSlots, dt: jnp.ndarray, params: KFParams) -> KFSlots:
+    """In-place prediction roll: x <- Fx, P <- FPF^T + Q*dt/dt_default.
+    ``dt`` is [N] per-slot; dead slots are untouched. (reference kf.py:292-330)
+    """
+    dt = jnp.where(slots.mask, dt, 0.0)
+    F = _f_rep(slots, dt, params)
+    x_new = jnp.einsum("nij,nj->ni", F, slots.x)
+    P_new = jnp.einsum("nij,njk,nlk->nil", F, slots.P, F) + params.Q[None] * (
+        dt[:, None, None] / DT_DEFAULT
+    )
+    keep = slots.mask
+    return slots._replace(
+        x=jnp.where(keep[:, None], x_new, slots.x),
+        P=jnp.where(keep[:, None, None], P_new, slots.P),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("measurement_idx",))
+def kf_update(
+    slots: KFSlots,
+    z: jnp.ndarray,
+    upd_mask: jnp.ndarray,
+    params: KFParams,
+    measurement_idx: int = 1,
+) -> KFSlots:
+    """Measurement update for the slots flagged in ``upd_mask``.
+
+    ``z`` is [N, m] slot-aligned measurements (pad rows for un-updated
+    slots); m = 5 for measurement models 1/2, 3 for model 3. Computes the
+    standard KF update batched over all N slots and keeps the old state
+    where ``upd_mask`` is False — fixed shapes, no gathers/scatters.
+    (reference kf.py:335-403)
+    """
+    if measurement_idx == 1:
+        H, R, mu_R = params.H, params.R, params.mu_R
+    elif measurement_idx == 2:
+        H, R, mu_R = params.H2, params.R2, params.mu_R2
+    elif measurement_idx == 3:
+        H, R, mu_R = params.H3, params.R3, params.mu_R3
+    else:
+        raise ValueError(f"unknown measurement_idx {measurement_idx}")
+
+    m = H.shape[0]
+    upd = upd_mask & slots.mask
+
+    # innovation y = z + mu_R - Hx   (reference kf.py:376)
+    y = z + mu_R[None] - jnp.einsum("mj,nj->nm", H, slots.x)
+    # S = HPH^T + R
+    S = jnp.einsum("ij,njk,lk->nil", H, slots.P, H) + R[None]
+    # K = P H^T S^-1  — computed via solve (S K^T = H P^T) for stability
+    PHt = jnp.einsum("nij,kj->nik", slots.P, H)  # [N,6,m]
+    K = jnp.linalg.solve(
+        S, PHt.transpose(0, 2, 1)
+    ).transpose(0, 2, 1)  # [N,6,m]
+    x_new = slots.x + jnp.einsum("nim,nm->ni", K, y)
+    I = jnp.eye(STATE_SIZE, dtype=slots.P.dtype)
+    P_new = jnp.einsum("nij,njk->nik", I[None] - jnp.einsum("nim,mj->nij", K, H), slots.P)
+
+    return slots._replace(
+        x=jnp.where(upd[:, None], x_new, slots.x),
+        P=jnp.where(upd[:, None, None], P_new, slots.P),
+    )
+
+
+@jax.jit
+def kf_add(
+    slots: KFSlots,
+    new_x: jnp.ndarray,  # [N,6] slot-aligned initial states
+    new_d: jnp.ndarray,  # [N]
+    add_mask: jnp.ndarray,  # [N] bool — slots to (re)initialize
+    params: KFParams,
+    class_ids: Optional[jnp.ndarray] = None,  # [N] int32 or None
+) -> KFSlots:
+    """Initialize new tracks in the flagged slots.
+
+    Where ``class_ids`` is given, l/w/h are overwritten with the class-mean
+    size and the corresponding covariance block with the class covariance
+    (reference kf.py:201-207).
+    """
+    x = new_x
+    P = jnp.broadcast_to(params.P0, slots.P.shape)
+    if class_ids is not None:
+        cls_size = params.class_size[class_ids]  # [N,3]
+        cls_cov = params.class_covariance[class_ids]  # [N,3,3]
+        x = x.at[:, 2:5].set(cls_size)
+        P = P.at[:, 2:5, 2:5].set(cls_cov)
+    return slots._replace(
+        x=jnp.where(add_mask[:, None], x, slots.x),
+        P=jnp.where(add_mask[:, None, None], P, slots.P),
+        d=jnp.where(add_mask, new_d, slots.d),
+        mask=slots.mask | add_mask,
+    )
+
+
+@jax.jit
+def kf_remove(slots: KFSlots, remove_mask: jnp.ndarray) -> KFSlots:
+    return slots._replace(mask=slots.mask & ~remove_mask)
+
+
+class BatchedKF:
+    """Host-side convenience wrapper with the reference ``Torch_KF`` API
+    (add / remove / predict / update / view / get_dt), managing the id<->slot
+    map and float64 per-object timestamps while all math runs in the jitted
+    kernels above.
+
+    The high-performance path (the trackers) uses the functional kernels
+    directly inside one fused step; this wrapper exists for parity, tests,
+    and offline tools like KF-parameter fitting.
+    """
+
+    def __init__(self, params: Optional[KFParams] = None, capacity: int = 256):
+        self.params = params if params is not None else default_params()
+        self.capacity = capacity
+        self.slots = init_slots(capacity)
+        self.T = np.zeros(capacity, dtype=np.float64)  # absolute times (host)
+        self.slot_of: Dict[int, int] = {}
+        self._free: List[int] = list(range(capacity - 1, -1, -1))
+
+    # -- bookkeeping ----------------------------------------------------------
+    @property
+    def ids(self) -> List[int]:
+        return sorted(self.slot_of, key=lambda i: self.slot_of[i])
+
+    def __len__(self) -> int:
+        return len(self.slot_of)
+
+    def get_dt(self, target_time, idxs: Optional[Sequence[int]] = None, use_default=True) -> np.ndarray:
+        """[capacity] per-slot dt to reach target_time (scalar or per-id list)
+        (reference kf.py:120-155). Slots not in ``idxs`` get dt_default (or 0)."""
+        dt = np.zeros(self.capacity, dtype=np.float64)
+        if np.isscalar(target_time):
+            for oid, s in self.slot_of.items():
+                dt[s] = target_time - self.T[s]
+        elif idxs is None:
+            for (oid, s), t in zip(sorted(self.slot_of.items(), key=lambda kv: kv[1]), target_time):
+                dt[s] = t - self.T[s]
+        else:
+            if use_default:
+                for s in self.slot_of.values():
+                    dt[s] = DT_DEFAULT
+            for t, oid in zip(target_time, idxs):
+                s = self.slot_of[oid]
+                dt[s] = t - self.T[s]
+        return dt
+
+    # -- reference-API methods -------------------------------------------------
+    def add(self, detections, obj_ids, directions, times, init_speed=False, classes=None):
+        detections = np.asarray(detections, dtype=np.float32)
+        n = len(obj_ids)
+        new_x = np.zeros((self.capacity, STATE_SIZE), dtype=np.float32)
+        new_d = np.ones(self.capacity, dtype=np.float32)
+        add_mask = np.zeros(self.capacity, dtype=bool)
+        cls_arr = np.zeros(self.capacity, dtype=np.int32) if classes is not None else None
+        for i in range(n):
+            s = self._free.pop()
+            self.slot_of[int(obj_ids[i])] = s
+            new_x[s, : detections.shape[1]] = detections[i]
+            if init_speed:
+                new_x[s, 5] = float(self.params.mu_v)
+            new_d[s] = directions[i]
+            add_mask[s] = True
+            self.T[s] = times[i]
+            if cls_arr is not None:
+                cls_arr[s] = classes[i]
+        self.slots = kf_add(
+            self.slots,
+            jnp.asarray(new_x),
+            jnp.asarray(new_d),
+            jnp.asarray(add_mask),
+            self.params,
+            jnp.asarray(cls_arr) if cls_arr is not None else None,
+        )
+
+    def remove(self, obj_ids):
+        rm = np.zeros(self.capacity, dtype=bool)
+        for oid in obj_ids:
+            s = self.slot_of.pop(int(oid))
+            rm[s] = True
+            self._free.append(s)
+        self.slots = kf_remove(self.slots, jnp.asarray(rm))
+
+    def predict(self, dt=None):
+        if dt is None:
+            dt = np.full(self.capacity, DT_DEFAULT, dtype=np.float64)
+        elif np.isscalar(dt):
+            dt = np.full(self.capacity, float(dt), dtype=np.float64)
+        else:
+            dt = np.asarray(dt, dtype=np.float64)
+        self.slots = kf_predict(self.slots, jnp.asarray(dt, dtype=jnp.float32), self.params)
+        live = np.zeros(self.capacity, dtype=bool)
+        for s in self.slot_of.values():
+            live[s] = True
+        self.T[live] += dt[live]
+
+    def update(self, detections, obj_ids, measurement_idx=1):
+        m = self.params.H.shape[0] if measurement_idx in (1, 2) else self.params.H3.shape[0]
+        z = np.zeros((self.capacity, m), dtype=np.float32)
+        upd = np.zeros(self.capacity, dtype=bool)
+        detections = np.asarray(detections, dtype=np.float32)
+        for i, oid in enumerate(obj_ids):
+            s = self.slot_of[int(oid)]
+            z[s] = detections[i, :m]
+            upd[s] = True
+        self.slots = kf_update(
+            self.slots, jnp.asarray(z), jnp.asarray(upd), self.params, measurement_idx
+        )
+
+    def view(self, dt=None, with_direction=False):
+        if len(self.slot_of) == 0:
+            return [], np.zeros((0, STATE_SIZE + (1 if with_direction else 0)), np.float32)
+        if dt is None:
+            x = np.asarray(self.slots.x)
+        else:
+            if np.isscalar(dt):
+                dt = np.full(self.capacity, float(dt))
+            x = np.asarray(kf_view(self.slots, jnp.asarray(dt, dtype=jnp.float32), self.params))
+        ids = self.ids
+        rows = [self.slot_of[i] for i in ids]
+        states = x[rows]
+        if with_direction:
+            d = np.asarray(self.slots.d)[rows]
+            states = np.concatenate(
+                [states[:, :5], d[:, None], states[:, 5:6]], axis=1
+            )
+        return ids, states
+
+    def objs(self, with_direction=False):
+        return self.view(dt=None, with_direction=with_direction)
