@@ -1,0 +1,70 @@
+"""Classification and 12-channel regression heads, shared across FPN levels
+(reference model.py:120-205)."""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from playground3d_tpu.models.nn import Params, conv_apply, conv_init
+
+N_REG_OUTPUTS = 12  # directional 3D regression (reference model.py:233)
+PRIOR = 0.01  # focal-loss prior for classification bias (model.py:252)
+
+
+def _tower_init(key, feature_size: int):
+    ks = jax.random.split(key, 4)
+    return [conv_init(k, feature_size, feature_size, 3, bias=True) for k in ks]
+
+
+def head_init(key, num_classes: int, num_anchors: int = 9, feature_size: int = 256) -> Params:
+    kc, kr, kco, kro = jax.random.split(key, 4)
+    p = {
+        "cls_tower": _tower_init(kc, feature_size),
+        "reg_tower": _tower_init(kr, feature_size),
+        "cls_out": conv_init(kco, feature_size, num_anchors * num_classes, 3, bias=True),
+        "reg_out": conv_init(kro, feature_size, num_anchors * N_REG_OUTPUTS, 3, bias=True),
+    }
+    # focal prior init: zero weights, bias = -log((1-p)/p)  (model.py:254-258)
+    p["cls_out"]["w"] = jnp.zeros_like(p["cls_out"]["w"])
+    p["cls_out"]["b"] = jnp.full_like(
+        p["cls_out"]["b"], -math.log((1.0 - PRIOR) / PRIOR)
+    )
+    p["reg_out"]["w"] = jnp.zeros_like(p["reg_out"]["w"])
+    p["reg_out"]["b"] = jnp.zeros_like(p["reg_out"]["b"])
+    return p
+
+
+def _tower_apply(tower, x, dtype):
+    for conv in tower:
+        x = jax.nn.relu(conv_apply(conv, x, dtype=dtype))
+    return x
+
+
+def head_apply(
+    p: Params,
+    features,
+    num_classes: int,
+    num_anchors: int = 9,
+    dtype=jnp.bfloat16,
+    apply_sigmoid: bool = True,
+):
+    """[P3..P7] -> (classification [N, A_total, K], regression [N, A_total, 12]).
+
+    Flatten order per level is (y, x, anchor) — matching the anchor layout
+    in :mod:`playground3d_tpu.models.anchors`.
+    """
+    cls_all, reg_all = [], []
+    for f in features:
+        n, h, w, _ = f.shape
+        c = conv_apply(p["cls_out"], _tower_apply(p["cls_tower"], f, dtype), dtype=dtype)
+        r = conv_apply(p["reg_out"], _tower_apply(p["reg_tower"], f, dtype), dtype=dtype)
+        cls_all.append(c.reshape(n, h * w * num_anchors, num_classes))
+        reg_all.append(r.reshape(n, h * w * num_anchors, N_REG_OUTPUTS))
+    cls = jnp.concatenate(cls_all, axis=1)
+    reg = jnp.concatenate(reg_all, axis=1)
+    if apply_sigmoid:
+        cls = jax.nn.sigmoid(cls.astype(jnp.float32))
+    return cls, reg.astype(jnp.float32)

@@ -1,0 +1,157 @@
+"""Linear assignment: on-device auction algorithm + host Hungarian fallback.
+
+TPU-native replacement for ``scipy.optimize.linear_sum_assignment`` at the
+tracker's detection->track matching step (reference MC3D_crop_tracker.py:706,
+minimal_3D_track.py:599) and the evaluator's GT<->pred matching
+(mot_evaluator.py:225).
+
+The device path is a forward auction with epsilon scaling (Bertsekas):
+bounded iterations inside ``lax.while_loop``, fixed shapes, masked rows/
+columns. Rectangular or masked problems are squared up with zero-benefit
+dummy entries (a constant offset to the objective), so the square optimum
+restricted to real entries is the rectangular optimum. With final
+epsilon ~ 1e-4 * scale / n the result matches the Hungarian optimum to
+~1e-4 relative — asserted against scipy in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["assign_auction", "assign_hungarian", "matches_from_assignment"]
+
+NEG = -1e9
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def assign_auction(
+    benefit: jnp.ndarray,
+    row_mask: jnp.ndarray,
+    col_mask: jnp.ndarray,
+    max_iters: int = 5000,
+) -> jnp.ndarray:
+    """Maximize sum benefit over a one-to-one row->col assignment.
+
+    benefit [n,m] (higher = better); row_mask [n] / col_mask [m] mark real
+    entries. Returns [n] int32: assigned column per row, -1 for
+    unassigned/masked rows.
+    """
+    n, m = benefit.shape
+    k = max(n, m)
+
+    real = row_mask[:, None] & col_mask[None, :]
+    # square problem: real entries keep their benefit, everything else
+    # (padding rows/cols, masked rows/cols) is a zero-benefit dummy
+    b = jnp.zeros((k, k), benefit.dtype)
+    b = b.at[:n, :m].set(jnp.where(real, benefit, 0.0))
+
+    scale = jnp.maximum(jnp.max(jnp.abs(b)), 1e-6)
+    nk = jnp.asarray(float(k), benefit.dtype)
+    eps_final = scale / (1e4 * (nk + 1.0))
+    arange_k = jnp.arange(k)
+
+    def cond(state):
+        it, eps, price, row_of_col, col_of_row = state
+        any_unassigned = jnp.any(col_of_row < 0)
+        return (it < max_iters) & (any_unassigned | (eps > eps_final))
+
+    def body(state):
+        it, eps, price, row_of_col, col_of_row = state
+
+        bidding = col_of_row < 0
+        value = b - price[None, :]  # [k,k]
+        best_j = jnp.argmax(value, axis=1)  # [k]
+        best_v = jnp.max(value, axis=1)
+        value2 = value.at[arange_k, best_j].set(NEG)
+        second_v = jnp.max(value2, axis=1)
+        bid = price[best_j] + (best_v - second_v) + eps  # [k]
+
+        bid_eff = jnp.where(bidding, bid, NEG)
+        col_bid = jnp.full((k,), NEG, benefit.dtype).at[best_j].max(bid_eff)
+        has_bid = jnp.zeros((k,), bool).at[best_j].max(bidding)
+
+        is_winner = bidding & (bid_eff >= col_bid[best_j] - 1e-12)
+        winner_row = (
+            jnp.full((k,), k, jnp.int32)
+            .at[best_j]
+            .min(jnp.where(is_winner, arange_k, k).astype(jnp.int32))
+        )
+
+        def apply_col(j, carry):
+            price_, row_of_col_, col_of_row_ = carry
+            w = winner_row[j]
+
+            def assign(c2):
+                price_, row_of_col_, col_of_row_ = c2
+                prev = row_of_col_[j]
+                col_of_row_ = jnp.where(
+                    prev >= 0, col_of_row_.at[prev].set(-1), col_of_row_
+                )
+                col_of_row_ = col_of_row_.at[w].set(j)
+                row_of_col_ = row_of_col_.at[j].set(w)
+                price_ = price_.at[j].set(col_bid[j])
+                return price_, row_of_col_, col_of_row_
+
+            return jax.lax.cond(
+                has_bid[j] & (w < k), assign, lambda c: c, (price_, row_of_col_, col_of_row_)
+            )
+
+        price, row_of_col, col_of_row = jax.lax.fori_loop(
+            0, k, apply_col, (price, row_of_col, col_of_row)
+        )
+
+        all_assigned = ~jnp.any(col_of_row < 0)
+        shrink = all_assigned & (eps > eps_final)
+        new_eps = jnp.where(shrink, eps * 0.2, eps)
+        # restart assignments when eps shrinks (standard eps-scaling)
+        col_of_row = jnp.where(shrink, jnp.full_like(col_of_row, -1), col_of_row)
+        row_of_col = jnp.where(shrink, jnp.full_like(row_of_col, -1), row_of_col)
+        return it + 1, new_eps, price, row_of_col, col_of_row
+
+    init = (
+        jnp.asarray(0),
+        scale / 4.0 + eps_final,
+        jnp.zeros((k,), benefit.dtype),
+        jnp.full((k,), -1, jnp.int32),
+        jnp.full((k,), -1, jnp.int32),
+    )
+    _, _, _, _, col_of_row = jax.lax.while_loop(cond, body, init)
+
+    out = col_of_row[:n]
+    # drop assignments to dummy/masked columns and from masked rows
+    col_ok = (out >= 0) & (out < m)
+    col_real = jnp.where(col_ok, col_mask[jnp.clip(out, 0, m - 1)], False)
+    out = jnp.where(row_mask & col_ok & col_real, out, -1)
+    return out
+
+
+def assign_hungarian(benefit: np.ndarray, maximize: bool = True) -> np.ndarray:
+    """Host-side exact Hungarian via scipy (used by the evaluator and as the
+    correctness oracle). Returns [n] col index per row, -1 if unassigned."""
+    from scipy.optimize import linear_sum_assignment
+
+    n, m = benefit.shape
+    out = np.full(n, -1, dtype=np.int32)
+    if n == 0 or m == 0:
+        return out
+    r, c = linear_sum_assignment(benefit, maximize=maximize)
+    out[r] = c
+    return out
+
+
+def matches_from_assignment(
+    col_of_row: np.ndarray, benefit: np.ndarray, min_benefit: float
+) -> np.ndarray:
+    """[l,2] (row, col) pairs with benefit >= min_benefit — the reference's
+    post-assignment distance cutoff (minimal_3D_track.py:611-623)."""
+    rows = np.nonzero(col_of_row >= 0)[0]
+    out = []
+    for r in rows:
+        c = col_of_row[r]
+        if benefit[r, c] >= min_benefit:
+            out.append((r, c))
+    return np.array(out, dtype=np.int64).reshape(-1, 2)

@@ -1,0 +1,86 @@
+"""Central configuration dataclasses.
+
+The reference scatters hyperparameters across params dicts with inline
+defaults (MC3D_crop_tracker.py:62-87), hardcoded __main__ constants
+(camera range tables, MC3D_crop_tracker.py:1489-1509), and repeated class
+dicts. Here one dataclass layer holds the canonical values, with the
+reference's defaults.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class TrackerConfig:
+    """Tracker hyperparameters (reference MC3D_crop_tracker.py:62-87 and
+    KIOU defaults minimal_3D_track.py:32-46)."""
+
+    sigma_d: float = 0.1  # min detection confidence
+    sigma_c: float = 0.1  # min crop-detection confidence
+    sigma_min: float = 0.5  # min confidence for object persistence
+    f_init: int = 5  # frames before an object is permanent
+    phi_nms_space: float = 0.2  # roadway-plane NMS IoU during parsing
+    phi_nms_im: float = 0.3  # image-space NMS IoU during parsing
+    phi_match: float = 0.1  # required IoU for detection -> track match
+    phi_over: float = 0.1  # post-update track overlap pruning IoU
+    w_conf: float = 0.5  # crop best-box weight: (1-W)*IoU + W*conf
+    cd_max: int = 50  # top-k crop candidates per object
+    f_max: int = 5  # frames-since-last-detection before death
+    cs: int = 112  # crop size
+    crop_expand: float = 1.25  # square crop expansion ratio (b)
+    det_step: int = 1  # full-frame detection every d frames
+    skip_step: int = 1  # crop re-detection every s frames
+    max_size: Tuple[float, float, float] = (100.0, 15.0, 15.0)  # L,W,H ft
+    x_range: Tuple[float, float] = (0.0, 2000.0)
+    y_range: Tuple[float, float] = (-10.0, 120.0)  # anomaly bounds on y
+    v_max: float = 150.0  # |speed| bound ft/s
+    match_iou_nms: float = 0.5  # detector-internal NMS IoU
+    matching_cutoff: float = 0.95  # single-cam KIOU match distance cutoff
+    det_conf_cutoff: float = 0.3  # single-cam KIOU confidence cutoff
+    fsld_max: int = 3  # single-cam KIOU death counter
+    iou_cutoff: float = 0.1  # single-cam overlap pruning
+    ts_alpha: float = 0.05  # clock-bias EMA rate
+    estimate_ts_bias: bool = True
+
+    # capacities (fixed shapes on device)
+    max_tracks: int = 128
+    max_dets: int = 128
+    pre_topk: int = 4096
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    depth: int = 50
+    num_classes: int = 8
+    frame_height: int = 1080
+    frame_width: int = 1920
+
+
+# Per-camera visible roadway range [xmin, xmax, y_center] in feet
+# (reference MC3D_crop_tracker.py:1489-1509 camera_space_range).
+CAMERA_SPACE_RANGE: Dict[str, Tuple[float, float, float]] = {
+    "p1c1": (280, 450, 60), "p1c2": (420, 650, 60), "p1c3": (640, 780, 80),
+    "p1c4": (640, 780, 40), "p1c5": (740, 890, 60), "p1c6": (840, 1000, 60),
+    "p2c1": (920, 1120, 60), "p2c2": (1050, 1180, 60), "p2c3": (1130, 1270, 24),
+    "p2c4": (1140, 1320, 80), "p2c5": (1240, 1350, 60), "p2c6": (1290, 1440, 60),
+    "p3c1": (1440, 1580, 60), "p3c2": (1570, 1670, 60), "p3c3": (1640, 1770, 80),
+    "p3c4": (1640, 1770, 40), "p3c5": (1760, 1960, 60), "p3c6": (1920, 2100, 60),
+}
+
+
+def camera_centers(cameras: List[str]) -> List[Tuple[float, float]]:
+    """[(x_center, y_center)] per camera (MC3D_crop_tracker.py:1517-1527)."""
+    out = []
+    for cam in cameras:
+        rmin, rmax, yc = CAMERA_SPACE_RANGE[cam]
+        out.append(((rmin + rmax) / 2.0, yc))
+    return out
+
+
+def tracking_x_range(cameras: List[str], margin: float = 100.0) -> Tuple[float, float]:
+    lo = min(CAMERA_SPACE_RANGE[c][0] for c in cameras) - margin
+    hi = max(CAMERA_SPACE_RANGE[c][1] for c in cameras) + margin
+    return lo, hi

@@ -1,0 +1,153 @@
+"""CSV schema + MOT evaluator tests.
+
+Includes a golden-file check: the reader must parse the reference repo's
+committed tracking CSVs (SURVEY.md section 4 regression artifacts).
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from playground3d_tpu.evaluation import geometry_np as G
+from playground3d_tpu.evaluation.csv_io import (
+    TrackRecord,
+    load_i24_csv,
+    write_results_csv,
+    parse_state_row,
+)
+from playground3d_tpu.evaluation.mot import MOTEvaluator
+from playground3d_tpu.geometry import state_to_space as j_state_to_space
+from playground3d_tpu.geometry import state_to_im as j_state_to_im
+
+REF_CSV = "/root/reference/3D_tracking_results.csv"
+
+
+def test_numpy_twins_match_jax(rng):
+    states = np.stack(
+        [
+            rng.uniform(400, 620, 6),
+            rng.uniform(10, 110, 6),
+            rng.uniform(12, 60, 6),
+            rng.uniform(5, 9, 6),
+            rng.uniform(3, 13, 6),
+            np.sign(rng.normal(size=6) + 0.1),
+        ],
+        axis=1,
+    )
+    got = G.state_to_space(states)
+    want = np.asarray(j_state_to_space(jnp.asarray(states.astype(np.float32))))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+    P = rng.normal(size=(3, 4))
+    P[2] = [0, 0, 0.001, 1]
+    got_im = G.state_to_im(states, P)
+    want_im = np.asarray(j_state_to_im(jnp.asarray(states.astype(np.float32)), jnp.asarray(P.astype(np.float32))))
+    np.testing.assert_allclose(got_im, want_im, rtol=1e-3, atol=1e-2)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CSV), reason="reference not mounted")
+def test_reader_parses_reference_golden_csv():
+    headers, data = load_i24_csv(REF_CSV)
+    assert headers[0] == "Frame #"
+    assert len(data) > 0
+    some_frame = sorted(data.keys())[0]
+    row = data[some_frame][0]
+    state = parse_state_row(row)
+    assert state.shape == (7,)
+    assert np.isfinite(state).all()
+    # corner block parses as floats
+    corners = np.array(row[11:27], dtype=np.float64)
+    assert corners.shape == (16,)
+
+
+def _make_track_records(camera_geom, n_frames=30, n_objs=5, noise=0.0, id_offset=0, seed=5):
+    """Synthesize constant-velocity tracks and compose CSV records."""
+    rng = np.random.default_rng(seed)
+    H, P = camera_geom
+    x0 = rng.uniform(420, 560, n_objs)
+    y0 = rng.uniform(10, 110, n_objs)
+    l = rng.uniform(14, 20, n_objs)
+    w = rng.uniform(5.5, 7, n_objs)
+    h = rng.uniform(4, 6, n_objs)
+    d = np.where(y0 > 60, -1.0, 1.0)
+    v = rng.uniform(20, 40, n_objs)
+    classes = ["sedan", "midsize", "van", "pickup", "sedan"][:n_objs]
+
+    records = []
+    for f in range(n_frames):
+        t = f / 30.0
+        for i in range(n_objs):
+            x = x0[i] + d[i] * v[i] * t + rng.normal(0, noise)
+            state7 = np.array([x, y0[i] + rng.normal(0, noise), l[i], w[i], h[i], d[i], v[i]])
+            space = G.state_to_space(state7[None])[0]
+            im = G.space_to_im(space[None], P)[0]
+            records.append(
+                TrackRecord(
+                    frame=f,
+                    timestamp=1600000000.0 + t,
+                    obj_id=i + id_offset,
+                    class_name=classes[i],
+                    state7=state7,
+                    im_corners=im,
+                    space_footprint=space[0:4, :2],
+                    camera="p1c1",
+                )
+            )
+    return records
+
+
+@pytest.fixture(scope="module")
+def camera_geom(toy_camera):
+    reg = toy_camera["registry"]
+    c = reg.index(toy_camera["cam"])
+    return reg.H[c, 0], reg.P[c, 0]
+
+
+def test_write_read_roundtrip(tmp_path, camera_geom):
+    records = _make_track_records(camera_geom, n_frames=5)
+    path = str(tmp_path / "out.csv")
+    write_results_csv(path, records)
+    headers, data = load_i24_csv(path)
+    assert len(data) == 5
+    assert len(data[0]) == 5
+    st = parse_state_row(data[0][0])
+    np.testing.assert_allclose(st, records[0].state7, rtol=1e-6)
+
+
+def test_mot_evaluator_perfect_match(tmp_path, camera_geom):
+    H, P = camera_geom
+    gt = _make_track_records(camera_geom, n_frames=20)
+    pred = _make_track_records(camera_geom, n_frames=20, id_offset=100)
+    gt_path, pred_path = str(tmp_path / "gt.csv"), str(tmp_path / "pred.csv")
+    write_results_csv(gt_path, gt)
+    write_results_csv(pred_path, pred)
+
+    ev = MOTEvaluator(gt_path, pred_path, H, P, match_iou=0.5, cutoff_frame=20)
+    metrics = ev.evaluate()
+    assert metrics["TP"] == 100
+    assert metrics["FP"] == 0 and metrics["FN"] == 0
+    assert metrics["Recall"] == 1.0 and metrics["Precision"] == 1.0
+    assert metrics["ID switches"] == 0 and metrics["Fragmentations"] == 0
+    assert metrics["MOTA"] == 1.0
+    # state precision ~0 except height (two-pass refinement approximates)
+    assert metrics["X precision"][0] < 0.2
+    assert metrics["Y precision"][0] < 0.2
+
+
+def test_mot_evaluator_detects_errors(tmp_path, camera_geom):
+    H, P = camera_geom
+    gt = _make_track_records(camera_geom, n_frames=20)
+    pred = _make_track_records(camera_geom, n_frames=20, noise=0.5, id_offset=100)
+    # drop one object entirely -> FNs
+    pred = [r for r in pred if r.obj_id != 102]
+    gt_path, pred_path = str(tmp_path / "gt.csv"), str(tmp_path / "pred.csv")
+    write_results_csv(gt_path, gt)
+    write_results_csv(pred_path, pred)
+
+    ev = MOTEvaluator(gt_path, pred_path, H, P, match_iou=0.3, cutoff_frame=20)
+    metrics = ev.evaluate()
+    assert metrics["FN"] >= 20  # one missing object over 20 frames
+    assert metrics["Recall"] < 1.0
+    assert 0.1 < metrics["X precision"][0] < 2.0  # noise shows up in ft
