@@ -154,8 +154,10 @@ def _one_image_loss(cls, reg, ann, anchors, anchor_geom):
     # vp-angle terms in raw pixel space (losses.py:214-304)
     def cos_term(reg_vec, plus, minus):
         tx, ty = _axis_vec(t16, plus, minus)
-        rn = jnp.sqrt(reg_vec[:, 0] ** 2 + reg_vec[:, 1] ** 2) + 1e-8
-        tn = jnp.sqrt(tx**2 + ty**2) + 1e-8
+        # eps INSIDE the sqrt: grad of sqrt(x^2+y^2) at 0 is NaN, and the NaN
+        # would leak through the positive-mask where() into the total grad
+        rn = jnp.sqrt(reg_vec[:, 0] ** 2 + reg_vec[:, 1] ** 2 + 1e-12)
+        tn = jnp.sqrt(tx**2 + ty**2 + 1e-12)
         cos = (reg_vec[:, 0] * tx + reg_vec[:, 1] * ty) / (rn * tn)
         return 1.0 - cos
 

@@ -96,7 +96,7 @@ def max_pool(x: jnp.ndarray, k: int = 3, stride: int = 2) -> jnp.ndarray:
     """SAME max pooling (reference ResNet stem, model.py:216)."""
     return jax.lax.reduce_window(
         x,
-        -jnp.inf if x.dtype in (jnp.float32, jnp.float64) else jnp.finfo(x.dtype).min,
+        -jnp.inf,
         jax.lax.max,
         window_dimensions=(1, k, k, 1),
         window_strides=(1, stride, stride, 1),

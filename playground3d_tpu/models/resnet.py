@@ -88,7 +88,6 @@ def resnet_init(key, depth: int = 50) -> Params:
     params: Params = {
         "conv1": conv_init(keys[0], 3, 64, 7),
         "bn1": bn_init(64),
-        "meta": {"depth": jnp.asarray(depth)},
     }
     in_ch = 64
     for stage, (planes, n_blocks, stride) in enumerate(

@@ -81,28 +81,28 @@ def assign_auction(
             .min(jnp.where(is_winner, arange_k, k).astype(jnp.int32))
         )
 
-        def apply_col(j, carry):
-            price_, row_of_col_, col_of_row_ = carry
-            w = winner_row[j]
-
-            def assign(c2):
-                price_, row_of_col_, col_of_row_ = c2
-                prev = row_of_col_[j]
-                col_of_row_ = jnp.where(
-                    prev >= 0, col_of_row_.at[prev].set(-1), col_of_row_
-                )
-                col_of_row_ = col_of_row_.at[w].set(j)
-                row_of_col_ = row_of_col_.at[j].set(w)
-                price_ = price_.at[j].set(col_bid[j])
-                return price_, row_of_col_, col_of_row_
-
-            return jax.lax.cond(
-                has_bid[j] & (w < k), assign, lambda c: c, (price_, row_of_col_, col_of_row_)
-            )
-
-        price, row_of_col, col_of_row = jax.lax.fori_loop(
-            0, k, apply_col, (price, row_of_col, col_of_row)
+        # fully-vectorized bid application (each bidding row bids exactly one
+        # column, so winners are distinct rows; bidders are unassigned, so
+        # evicted previous holders are disjoint from winners):
+        taken = has_bid & (winner_row < k)
+        # 1. evict previous holders of re-bid columns (scatter a boolean)
+        prev_row = jnp.where(taken, row_of_col, -1)
+        evict = (
+            jnp.zeros((k,), bool)
+            .at[jnp.clip(prev_row, 0, k - 1)]
+            .max(prev_row >= 0)
         )
+        col_of_row = jnp.where(evict, -1, col_of_row)
+        # 2. assign winners (each row wins at most its single best_j column)
+        w_safe = jnp.clip(winner_row, 0, k - 1)
+        won_col = (
+            jnp.full((k,), -1, jnp.int32)
+            .at[w_safe]
+            .max(jnp.where(taken, arange_k, -1).astype(jnp.int32))
+        )
+        col_of_row = jnp.where(won_col >= 0, won_col, col_of_row)
+        row_of_col = jnp.where(taken, winner_row, row_of_col)
+        price = jnp.where(taken, col_bid, price)
 
         all_assigned = ~jnp.any(col_of_row < 0)
         shrink = all_assigned & (eps > eps_final)

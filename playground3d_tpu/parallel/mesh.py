@@ -1,0 +1,50 @@
+"""Device mesh and sharding helpers.
+
+The reference's only parallelism is single-process ``nn.DataParallel`` over
+4 GPUs (train_detector_3D_angle.py:316-318) plus per-tracker GPU placement
+(MC3D_crop_tracker.py:95-98). The TPU-native equivalents (SURVEY.md section
+2c):
+
+* **training**: batch-sharded data parallelism over an ICI mesh — params
+  replicated, batch split on the ``data`` axis; XLA inserts the gradient
+  all-reduce.
+* **multi-camera inference**: the camera axis of the stacked frame batch
+  sharded over the same mesh (one camera pool shard per chip).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    """Leading-dim (batch or camera) sharding."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree, axis: str = DATA_AXIS):
+    """device_put a pytree with its leading dim sharded over the mesh."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

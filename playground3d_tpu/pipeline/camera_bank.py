@@ -1,0 +1,73 @@
+"""Device-side camera bank: per-object homography dispatch as gathers.
+
+Wraps the stacked correspondence arrays from
+:class:`playground3d_tpu.geometry.homography.CameraRegistry` for use inside
+jitted tracker steps: each detection carries a camera index; its H/P
+matrices are gathered, and the EB/WB dual-correspondence selection
+(reference Homography_Wrapper, homography.py:793-862) happens per object on
+roadway y.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from playground3d_tpu.geometry import transforms as T
+from playground3d_tpu.utils.constants import EB_WB_Y_SPLIT_FT
+
+
+class CameraBank(NamedTuple):
+    H: jnp.ndarray  # [C,2,3,3]  image->space; bank 0 EB, 1 WB
+    P: jnp.ndarray  # [C,2,3,4]  space->image
+
+
+def bank_from_registry(registry) -> CameraBank:
+    arrs = registry.device_arrays(np.float32)
+    return CameraBank(H=jnp.asarray(arrs["H"]), P=jnp.asarray(arrs["P"]))
+
+
+def im_to_state_banked(
+    bank: CameraBank, points: jnp.ndarray, cam_idx: jnp.ndarray, heights: jnp.ndarray
+) -> jnp.ndarray:
+    """[d,8,2] image corners + [d] camera indices -> [d,6] state with per-
+    object EB/WB selection: project through EB; where the projected space y
+    of corner 0 exceeds 60 ft use the WB projection instead
+    (reference homography.py:840-847)."""
+    H_eb = bank.H[cam_idx, 0]
+    H_wb = bank.H[cam_idx, 1]
+    space_eb = T.im_to_space(points, H_eb, heights)
+    space_wb = T.im_to_space(points, H_wb, heights)
+    use_wb = space_eb[:, 0, 1] > EB_WB_Y_SPLIT_FT
+    space = jnp.where(use_wb[:, None, None], space_wb, space_eb)
+    return T.space_to_state(space)
+
+
+def state_to_im_banked(
+    bank: CameraBank, state: jnp.ndarray, cam_idx: jnp.ndarray
+) -> jnp.ndarray:
+    """[d,s] states + [d] camera indices -> [d,8,2], WB bank where state
+    y > 60 ft (reference homography.py:849-856)."""
+    P_eb = bank.P[cam_idx, 0]
+    P_wb = bank.P[cam_idx, 1]
+    space = T.state_to_space(state)
+    im_eb = T.space_to_im(space, P_eb)
+    im_wb = T.space_to_im(space, P_wb)
+    use_wb = state[:, 1] > EB_WB_Y_SPLIT_FT
+    return jnp.where(use_wb[:, None, None], im_wb, im_eb)
+
+
+def refine_heights_banked(
+    bank: CameraBank,
+    state: jnp.ndarray,
+    cam_idx: jnp.ndarray,
+    im_corners: jnp.ndarray,
+    heights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Two-pass height refinement (reference minimal_3D_track.py:486-490):
+    reproject the guessed-height state to the image, scale the class-prior
+    height by observed/reprojected pixel-height ratio."""
+    repro = state_to_im_banked(bank, state, cam_idx)
+    return T.height_from_template(repro, heights, im_corners)

@@ -1,0 +1,356 @@
+"""On-device tracker state and the fused per-frame update kernels.
+
+The reference tracker bounces between GPU (detector) and CPU (parse, KF,
+Hungarian, bookkeeping) every frame (SURVEY.md section 3.1). Here the ENTIRE
+tracker lives on device as fixed-capacity arrays — Kalman slots, track ids,
+frames-since-last-detection counters, class votes, per-slot timestamps — and
+one jitted function advances it per frame batch. The host only stages frames
+and drains output snapshots.
+
+Time is float32 *offsets from a host-held epoch* (UNIX absolute times exceed
+f32; offsets within a sequence don't).
+
+Components (reference parity noted per function):
+  * :func:`parse_detections`  — confidence cutoff, per-camera image NMS,
+    im->state with EB/WB dispatch, two-pass height refinement, cross-camera
+    space NMS (MC3D_crop_tracker.py:319-383)
+  * :func:`associate_and_update` — continuous-time match/update/birth
+    (MC3D_crop_tracker.py:1099-1137 + manage_tracks:385-461)
+  * :func:`lifecycle` — death by fsld, anomaly and overlap pruning
+    (MC3D_crop_tracker.py:463-556)
+  * :func:`snapshot` — roll all tracks to a common clock time for output
+    (MC3D_crop_tracker.py:1266-1282)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from playground3d_tpu.geometry import transforms as T
+from playground3d_tpu.models.retinanet import Detections
+from playground3d_tpu.ops.assignment import assign_auction
+from playground3d_tpu.ops.iou import pairwise_iou
+from playground3d_tpu.ops.nms import batched_nms, nms
+from playground3d_tpu.pipeline.camera_bank import (
+    CameraBank,
+    im_to_state_banked,
+    refine_heights_banked,
+)
+from playground3d_tpu.track.kf import (
+    KFParams,
+    KFSlots,
+    init_slots,
+    kf_add,
+    kf_predict,
+    kf_update,
+    kf_view,
+)
+from playground3d_tpu.utils.config import TrackerConfig
+from playground3d_tpu.utils.constants import CLASS_HEIGHTS, NUM_CLASSES
+
+
+class TrackState(NamedTuple):
+    kf: KFSlots
+    ids: jnp.ndarray  # [N] int32, -1 = free
+    fsld: jnp.ndarray  # [N] int32 frames since last detected
+    age: jnp.ndarray  # [N] int32 frames alive
+    cls_votes: jnp.ndarray  # [N, NUM_CLASSES] float32
+    conf_sum: jnp.ndarray  # [N] float32
+    conf_cnt: jnp.ndarray  # [N] float32
+    t_off: jnp.ndarray  # [N] float32: last KF roll time (epoch offset, s)
+    next_id: jnp.ndarray  # [] int32
+
+
+class ParsedDetections(NamedTuple):
+    state: jnp.ndarray  # [K,6] x,y,l,w,h,dir
+    scores: jnp.ndarray  # [K]
+    classes: jnp.ndarray  # [K] int32
+    cam_idx: jnp.ndarray  # [K] int32
+    times: jnp.ndarray  # [K] float32 epoch offsets
+    mask: jnp.ndarray  # [K] bool
+
+
+class Snapshot(NamedTuple):
+    states7: jnp.ndarray  # [N,7] x,y,l,w,h,dir,v at snapshot time
+    ids: jnp.ndarray  # [N]
+    classes: jnp.ndarray  # [N] dominant class votes
+    mask: jnp.ndarray  # [N] valid AND past burn-in (age > f_init)
+    raw_mask: jnp.ndarray  # [N] valid
+    t: jnp.ndarray  # [] snapshot time offset
+
+
+def init_track_state(capacity: int) -> TrackState:
+    return TrackState(
+        kf=init_slots(capacity),
+        ids=jnp.full((capacity,), -1, jnp.int32),
+        fsld=jnp.zeros((capacity,), jnp.int32),
+        age=jnp.zeros((capacity,), jnp.int32),
+        cls_votes=jnp.zeros((capacity, NUM_CLASSES), jnp.float32),
+        conf_sum=jnp.zeros((capacity,), jnp.float32),
+        conf_cnt=jnp.zeros((capacity,), jnp.float32),
+        t_off=jnp.zeros((capacity,), jnp.float32),
+        next_id=jnp.asarray(0, jnp.int32),
+    )
+
+
+def _state6(kf: KFSlots) -> jnp.ndarray:
+    """KF state [N,6] (x,y,l,w,h,v) -> geometric state [N,6] with direction."""
+    return jnp.concatenate([kf.x[:, :5], kf.d[:, None]], axis=1)
+
+
+def _footprints(state6: jnp.ndarray) -> jnp.ndarray:
+    return T.space_footprint_xyxy(T.state_to_space(state6))
+
+
+# ---------------------------------------------------------------------------
+# detection parsing
+# ---------------------------------------------------------------------------
+
+
+def parse_detections_pre(
+    det: Detections,
+    bank: CameraBank,
+    cam_times: jnp.ndarray,  # [C] per-camera frame times (epoch offsets)
+    cfg: TrackerConfig,
+) -> ParsedDetections:
+    """Parsing stages BEFORE cross-camera fusion: confidence cutoff,
+    per-camera image NMS, im->state with EB/WB dispatch, two-pass height
+    refinement (MC3D_crop_tracker.py:334-370). The result still contains
+    duplicate observations of the same vehicle from overlapping cameras —
+    exactly what the clock-bias estimator needs."""
+    K = det.scores.shape[0]
+    keep = det.mask & (det.scores > cfg.sigma_d)
+
+    corners = det.boxes[:, :16].reshape(K, 8, 2)
+    hulls = T.im_hull_xyxy(corners)
+
+    # image-space NMS within each camera (groups = camera index)
+    idx1, mask1 = batched_nms(
+        hulls, det.scores, det.cam_idx, keep, cfg.phi_nms_im, max_keep=K
+    )
+    corners = corners[idx1]
+    scores = det.scores[idx1]
+    classes = det.classes[idx1]
+    cam_idx = det.cam_idx[idx1]
+
+    heights = jnp.asarray(CLASS_HEIGHTS)[classes]
+    state = im_to_state_banked(bank, corners, cam_idx, heights)
+    refined = refine_heights_banked(bank, state, cam_idx, corners, heights)
+    # guard degenerate refinements (zero pixel height)
+    refined = jnp.where(jnp.isfinite(refined) & (refined > 0.5), refined, heights)
+    state = im_to_state_banked(bank, corners, cam_idx, refined)
+
+    return ParsedDetections(
+        state=state,
+        scores=scores,
+        classes=classes,
+        cam_idx=cam_idx,
+        times=cam_times[cam_idx],
+        mask=mask1,
+    )
+
+
+def space_nms_parsed(parsed: ParsedDetections, cfg: TrackerConfig) -> ParsedDetections:
+    """Cross-camera roadway-plane NMS: duplicate observations of one vehicle
+    from overlapping cameras collapse to the highest-scoring one
+    (MC3D_crop_tracker.py:376-381)."""
+    K = parsed.mask.shape[0]
+    fp = _footprints(parsed.state)
+    idx2, mask2 = nms(fp, parsed.scores, parsed.mask, cfg.phi_nms_space, max_keep=K)
+    return ParsedDetections(
+        state=parsed.state[idx2],
+        scores=parsed.scores[idx2],
+        classes=parsed.classes[idx2],
+        cam_idx=parsed.cam_idx[idx2],
+        times=parsed.times[idx2],
+        mask=mask2,
+    )
+
+
+def parse_detections(
+    det: Detections,
+    bank: CameraBank,
+    cam_times: jnp.ndarray,
+    cfg: TrackerConfig,
+) -> ParsedDetections:
+    """Full reference parse pipeline (MC3D_crop_tracker.py:319-383)."""
+    return space_nms_parsed(parse_detections_pre(det, bank, cam_times, cfg), cfg)
+
+
+# ---------------------------------------------------------------------------
+# association + measurement update + births
+# ---------------------------------------------------------------------------
+
+
+def associate_and_update(
+    state: TrackState,
+    parsed: ParsedDetections,
+    t_ref: jnp.ndarray,  # [] matching reference time (mean frame time)
+    kfp: KFParams,
+    cfg: TrackerConfig,
+) -> Tuple[TrackState, jnp.ndarray, jnp.ndarray]:
+    """Match detections to tracks on roadway IoU, roll matched tracks to
+    their detection times, update, and start new tracks in free slots.
+
+    Returns (new_state, col_of_row [N], matched_col_mask [K]).
+    """
+    N = state.ids.shape[0]
+    K = parsed.mask.shape[0]
+
+    # a-priori track boxes at the common reference time
+    dt_view = jnp.where(state.kf.mask, t_ref - state.t_off, 0.0)
+    pre_x = kf_view(state.kf, dt_view, kfp)
+    pre6 = jnp.concatenate([pre_x[:, :5], state.kf.d[:, None]], axis=1)
+    track_fp = _footprints(pre6)
+    det_fp = _footprints(parsed.state)
+
+    iou = pairwise_iou(track_fp, det_fp)  # [N,K]
+    iou = jnp.where(state.kf.mask[:, None] & parsed.mask[None, :], iou, 0.0)
+
+    col_of_row = assign_auction(iou, state.kf.mask, parsed.mask)
+    col_safe = jnp.clip(col_of_row, 0, K - 1)
+    match_iou = iou[jnp.arange(N), col_safe]
+    matched_row = (col_of_row >= 0) & (match_iou >= cfg.phi_match)
+    col_of_row = jnp.where(matched_row, col_of_row, -1)
+    col_safe = jnp.clip(col_of_row, 0, K - 1)
+
+    # roll matched tracks to their detection's timestamp, then update
+    det_time_row = parsed.times[col_safe]
+    dt_pred = jnp.where(matched_row, det_time_row - state.t_off, 0.0)
+    kf1 = kf_predict(state.kf, dt_pred, kfp)
+    z = parsed.state[col_safe][:, :5]
+    kf2 = kf_update(kf1, z, matched_row, kfp, measurement_idx=1)
+
+    t_off = jnp.where(matched_row, det_time_row, state.t_off)
+    fsld = jnp.where(matched_row, 0, state.fsld + state.kf.mask.astype(jnp.int32))
+    det_cls_row = parsed.classes[col_safe]
+    votes = state.cls_votes + (
+        matched_row[:, None] * jax.nn.one_hot(det_cls_row, NUM_CLASSES)
+    )
+    conf_sum = state.conf_sum + jnp.where(matched_row, parsed.scores[col_safe], 0.0)
+    conf_cnt = state.conf_cnt + matched_row.astype(jnp.float32)
+
+    # ---- births ------------------------------------------------------------
+    matched_col = jnp.zeros((K,), bool).at[col_safe].max(matched_row)
+    unmatched = parsed.mask & ~matched_col
+
+    free = ~kf2.mask
+    free_order = jnp.argsort(~free)  # free slots first, ascending index
+    det_rank = jnp.cumsum(unmatched) - 1  # rank of each unmatched det
+    n_free = jnp.sum(free)
+    can_place = unmatched & (det_rank < n_free)
+    slot_for_det = free_order[jnp.clip(det_rank, 0, N - 1)]  # [K]
+
+    add_mask = jnp.zeros((N,), bool).at[slot_for_det].max(can_place)
+    # per-slot gather of its new detection (scatter det index)
+    det_for_slot = (
+        jnp.zeros((N,), jnp.int32)
+        .at[slot_for_det]
+        .max(jnp.where(can_place, jnp.arange(K, dtype=jnp.int32), 0))
+    )
+    new_det = parsed.state[det_for_slot]  # [N,6]
+    new_x = jnp.concatenate(
+        [new_det[:, :5], jnp.full((N, 1), kfp.mu_v, jnp.float32)], axis=1
+    )
+    new_d = new_det[:, 5]
+    new_cls = parsed.classes[det_for_slot]
+
+    kf3 = kf_add(kf2, new_x, new_d, add_mask, kfp, class_ids=new_cls)
+
+    ids = jnp.where(
+        add_mask,
+        state.next_id + (jnp.cumsum(add_mask) - 1).astype(jnp.int32),
+        state.ids,
+    )
+    next_id = state.next_id + jnp.sum(add_mask).astype(jnp.int32)
+    fsld = jnp.where(add_mask, 0, fsld)
+    age = jnp.where(add_mask, 0, state.age)
+    votes = jnp.where(
+        add_mask[:, None], jax.nn.one_hot(new_cls, NUM_CLASSES), votes
+    )
+    conf_sum = jnp.where(add_mask, parsed.scores[det_for_slot], conf_sum)
+    conf_cnt = jnp.where(add_mask, 1.0, conf_cnt)
+    t_off = jnp.where(add_mask, parsed.times[det_for_slot], t_off)
+
+    new_state = TrackState(
+        kf=kf3,
+        ids=jnp.where(kf3.mask, ids, -1),
+        fsld=fsld,
+        age=age + kf3.mask.astype(jnp.int32),
+        cls_votes=votes,
+        conf_sum=conf_sum,
+        conf_cnt=conf_cnt,
+        t_off=t_off,
+        next_id=next_id,
+    )
+    return new_state, col_of_row, matched_col
+
+
+# ---------------------------------------------------------------------------
+# lifecycle: deaths, anomalies, overlaps
+# ---------------------------------------------------------------------------
+
+
+def lifecycle(
+    state: TrackState, t_ref: jnp.ndarray, kfp: KFParams, cfg: TrackerConfig
+) -> TrackState:
+    """Prune tracks: fsld death (MC3D:463-477), anomaly bounds (MC3D:520-556),
+    and overlap NMS with age-as-score (MC3D:482-518)."""
+    live = state.kf.mask
+
+    # fsld death
+    die = live & (state.fsld >= cfg.f_max)
+
+    # anomalies, evaluated on states rolled to t_ref
+    dt = jnp.where(live, t_ref - state.t_off, 0.0)
+    x = kf_view(state.kf, dt, kfp)
+    y, l, w, h, v = x[:, 1], x[:, 2], x[:, 3], x[:, 4], x[:, 5]
+    max_l, max_w, max_h = cfg.max_size
+    bad = (
+        (y > cfg.y_range[1]) | (y < cfg.y_range[0])
+        | (l > max_l) | (l < 0) | (w > max_w) | (w < 0) | (h > max_h) | (h < 0)
+        | (v > cfg.v_max) | (v < -cfg.v_max)
+        | (x[:, 0] < cfg.x_range[0]) | (x[:, 0] > cfg.x_range[1])
+    )
+    die = die | (live & bad)
+
+    # overlap pruning: keep older track when footprints overlap > phi_over
+    state6 = jnp.concatenate([x[:, :5], state.kf.d[:, None]], axis=1)
+    fp = _footprints(state6)
+    alive = live & ~die
+    keep_idx, keep_mask = nms(
+        fp, state.age.astype(jnp.float32), alive, cfg.phi_over, max_keep=fp.shape[0]
+    )
+    kept = jnp.zeros_like(alive).at[keep_idx].max(keep_mask)
+    die = die | (alive & ~kept)
+
+    new_mask = live & ~die
+    return state._replace(
+        kf=state.kf._replace(mask=new_mask),
+        ids=jnp.where(new_mask, state.ids, -1),
+    )
+
+
+def snapshot(
+    state: TrackState, t_out: jnp.ndarray, kfp: KFParams, cfg: TrackerConfig
+) -> Snapshot:
+    """Roll every live track to a common clock time for output
+    (MC3D_crop_tracker.py:1266-1282)."""
+    live = state.kf.mask
+    dt = jnp.where(live, t_out - state.t_off, 0.0)
+    x = kf_view(state.kf, dt, kfp)
+    states7 = jnp.concatenate(
+        [x[:, :5], state.kf.d[:, None], x[:, 5:6]], axis=1
+    )
+    return Snapshot(
+        states7=states7,
+        ids=state.ids,
+        classes=jnp.argmax(state.cls_votes, axis=1).astype(jnp.int32),
+        mask=live & (state.age > cfg.f_init),
+        raw_mask=live,
+        t=t_out,
+    )
