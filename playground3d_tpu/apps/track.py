@@ -1,0 +1,210 @@
+"""Tracking CLI: single-camera (reference minimal_3D_track.py __main__) and
+multi-camera crop tracking (MC3D_crop_tracker.py __main__) over synthetic or
+real frame sources, with CSV output and optional MOT evaluation.
+
+Usage:
+    python -m playground3d_tpu.apps.track --mode single --frames 100 \
+        --out out.csv [--gt gt.csv] [--checkpoint det.npz]
+    python -m playground3d_tpu.apps.track --mode multi --cameras 3 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def _synthetic_registry(n_cameras: int):
+    """Build a synthetic multi-camera registry + scene + per-camera sources."""
+    import sys
+
+    sys.path.insert(0, "tests")  # reuse the test fixtures' projector builder
+    from playground3d_tpu.geometry.homography import CameraRegistry
+
+    from tests.conftest import make_projector, register_toy_camera  # type: ignore
+
+    reg = CameraRegistry()
+    ranges = {}
+    base = 350
+    for i in range(n_cameras):
+        name = f"p1c{i + 1}"
+        lo = base + i * 130
+        hi = lo + 210
+        ranges[name] = (lo, hi)
+        proj = make_projector(cam_x=lo - 30.0)
+        register_toy_camera(reg, name, proj, (lo, hi), seed=7 + i)
+    centers = np.array([[(a + b) / 2.0, 60.0] for a, b in ranges.values()], np.float32)
+    return reg, ranges, centers
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--mode", default="single", choices=["single", "multi"])
+    ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--cameras", type=int, default=3)
+    ap.add_argument("--out", default="track_outputs.csv")
+    ap.add_argument("--gt-out", default=None, help="also write GT CSV here")
+    ap.add_argument("--eval", action="store_true")
+    ap.add_argument("--depth", type=int, default=50)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--crop-checkpoint", default=None)
+    ap.add_argument("--det-step", type=int, default=1)
+    ap.add_argument("--oracle", action="store_true", help="use oracle detections (no network)")
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--width", type=int, default=1920)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from playground3d_tpu.data.synthetic import SyntheticScene, oracle_detections
+    from playground3d_tpu.utils.config import TrackerConfig
+
+    reg, ranges, centers = _synthetic_registry(args.cameras if args.mode == "multi" else 1)
+    cameras = list(ranges.keys())
+    lo = min(r[0] for r in ranges.values()) - 20
+    hi = max(r[1] for r in ranges.values()) + 20
+    scene = SyntheticScene(n_objects=10, seed=3, x_spawn=(lo + 30, hi - 30), x_visible=(lo, hi))
+
+    cfg = TrackerConfig(
+        max_tracks=64, max_dets=64, x_range=(lo - 50, hi + 50), f_init=2,
+        det_step=args.det_step,
+    )
+
+    params = None
+    if not args.oracle:
+        from playground3d_tpu.models import load_params, retinanet_init
+
+        params = retinanet_init(jax.random.PRNGKey(0), depth=args.depth)
+        if args.checkpoint:
+            params = load_params(args.checkpoint, params)
+
+    fps = 30.0
+    holder = {"f": 0}
+
+    if args.mode == "single":
+        from playground3d_tpu.pipeline.single_cam import SingleCameraTracker
+
+        P = reg.P[0, 0]
+        rng = np.random.default_rng(0)
+
+        detect_fn = None
+        if args.oracle:
+            def detect_fn(frames):
+                return oracle_detections(
+                    scene, holder["f"] / fps, P, K=cfg.max_dets, noise_px=1.0, rng=rng
+                )
+
+        tracker = SingleCameraTracker(
+            reg, cameras[0], cfg=cfg, det_params=params, depth=args.depth,
+            detect_fn=detect_fn,
+        )
+
+        def frames():
+            from playground3d_tpu.data.video import SyntheticVideoSource
+
+            if args.oracle:
+                for f in range(args.frames):
+                    holder["f"] = f
+                    yield np.zeros((8, 8, 3), np.float32), 1.6e9 + f / fps
+            else:
+                src = SyntheticVideoSource(
+                    scene, P, n_frames=args.frames, height=args.height, width=args.width
+                )
+                for f, (frame, t) in enumerate(src):
+                    holder["f"] = f
+                    yield frame, t
+
+        stats = tracker.track(frames())
+        tracker.write_results_csv(args.out)
+        print(f"tracked {stats['frames']} frames at {stats['fps']:.1f} fps -> {args.out}")
+    else:
+        from playground3d_tpu.pipeline.multi_cam import MultiCameraTracker
+        from playground3d_tpu.data.video import SyntheticVideoSource
+
+        rng = np.random.default_rng(0)
+        detect_fn = None
+        if args.oracle:
+            from tests.test_multicam import mc_oracle_detections  # type: ignore
+
+            def detect_fn(frames, frame_num):
+                return mc_oracle_detections(
+                    scene, [holder["f"] / fps] * len(cameras), reg, cameras, ranges,
+                    cfg.max_dets, rng,
+                )
+
+        crop_params = None
+        if args.crop_checkpoint:
+            from playground3d_tpu.models import load_params, retinanet_init
+
+            crop_params = retinanet_init(jax.random.PRNGKey(1), depth=args.depth)
+            crop_params = load_params(args.crop_checkpoint, crop_params)
+
+        tracker = MultiCameraTracker(
+            reg, cameras, cfg=cfg, det_params=params, crop_params=crop_params,
+            depth=args.depth, detect_fn=detect_fn, centers=centers,
+        )
+
+        def source_for(ci):
+            if args.oracle:
+                def gen():
+                    for f in range(args.frames):
+                        yield np.zeros((8, 8, 3), np.float32), 1.6e9 + f / fps
+                return gen()
+            return SyntheticVideoSource(
+                scene, reg.P[ci, 0], n_frames=args.frames,
+                height=args.height, width=args.width,
+            )
+
+        if args.oracle:
+            # manual loop so holder["f"] tracks the frame index
+            its = [iter(source_for(ci)) for ci in range(len(cameras))]
+            for f in range(args.frames):
+                holder["f"] = f
+                cur = [next(it) for it in its]
+                tracker.process(np.stack([c[0] for c in cur]), [c[1] for c in cur], f)
+        else:
+            tracker.track([source_for(ci) for ci in range(len(cameras))], cutoff=args.frames)
+        tracker.write_results_csv(args.out)
+        print(f"wrote {args.out}")
+
+    if args.gt_out or args.eval:
+        from playground3d_tpu.evaluation import geometry_np as G
+        from playground3d_tpu.evaluation.csv_io import TrackRecord, write_results_csv
+        from playground3d_tpu.utils.constants import CLASS_NAMES
+
+        P = reg.P[0, 0]
+        gt = []
+        for f in range(args.frames):
+            t = f / fps
+            states, idx = scene.states_at(t)
+            if len(states) == 0:
+                continue
+            space = G.state_to_space(states)
+            im = G.space_to_im(space, P)
+            for i in range(len(states)):
+                gt.append(
+                    TrackRecord(
+                        frame=f, timestamp=1.6e9 + t, obj_id=int(idx[i]),
+                        class_name=CLASS_NAMES[int(scene.classes[idx[i]])],
+                        state7=states[i], im_corners=im[i],
+                        space_footprint=space[i, 0:4, :2], camera=cameras[0],
+                    )
+                )
+        gt_path = args.gt_out or (args.out + ".gt.csv")
+        write_results_csv(gt_path, gt)
+        print(f"wrote GT to {gt_path}")
+
+        if args.eval:
+            from playground3d_tpu.evaluation.mot import MOTEvaluator
+
+            ev = MOTEvaluator(
+                gt_path, args.out, reg.H[0, 0], reg.P[0, 0],
+                match_iou=0.3, cutoff_frame=args.frames,
+            )
+            ev.evaluate()
+            ev.print_metrics()
+
+
+if __name__ == "__main__":
+    main()

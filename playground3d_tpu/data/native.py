@@ -1,0 +1,131 @@
+"""ctypes bindings for the native frame-preprocessing library (framepipe).
+
+Builds ``native/libframepipe.so`` on first use if the toolchain is present;
+every entry point has a numpy fallback so the framework degrades gracefully
+on machines without a compiler.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+from playground3d_tpu.data.timestamps import TimestampGeometry, precomputed_checksums
+from playground3d_tpu.utils.constants import IMAGENET_MEAN, IMAGENET_STD
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libframepipe.so")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR, "-s"],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.fp_resize_half.argtypes = [u8p, u8p, ctypes.c_int, ctypes.c_int]
+    lib.fp_normalize.argtypes = [u8p, f32p, ctypes.c_int, ctypes.c_int, f32p, f32p, ctypes.c_int]
+    lib.fp_preprocess.argtypes = [u8p, f32p, ctypes.c_int, ctypes.c_int, f32p, f32p, ctypes.c_int]
+    lib.fp_parse_timestamp.argtypes = [u8p] + [ctypes.c_int] * 11 + [i32p, i32p]
+    lib.fp_parse_timestamp.restype = ctypes.c_int
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def resize_half(frame: np.ndarray) -> np.ndarray:
+    """[h,w,3] uint8 -> [h/2,w/2,3] uint8, 2x2 box filter."""
+    h, w = frame.shape[:2]
+    lib = _load()
+    if lib is not None:
+        out = np.empty((h // 2, w // 2, 3), np.uint8)
+        lib.fp_resize_half(np.ascontiguousarray(frame), out, h, w)
+        return out
+    f = frame[: h // 2 * 2, : w // 2 * 2].astype(np.uint16)
+    out = (f[0::2, 0::2] + f[0::2, 1::2] + f[1::2, 0::2] + f[1::2, 1::2] + 2) >> 2
+    return out.astype(np.uint8)
+
+
+def normalize(frame_u8: np.ndarray, n_threads: int = 4) -> np.ndarray:
+    """uint8 [h,w,3] -> ImageNet-normalized float32."""
+    lib = _load()
+    h, w = frame_u8.shape[:2]
+    if lib is not None:
+        out = np.empty((h, w, 3), np.float32)
+        lib.fp_normalize(
+            np.ascontiguousarray(frame_u8), out, h, w,
+            np.ascontiguousarray(IMAGENET_MEAN), np.ascontiguousarray(IMAGENET_STD),
+            n_threads,
+        )
+        return out
+    return (frame_u8.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def preprocess(frame_u8: np.ndarray, n_threads: int = 4) -> np.ndarray:
+    """Fused 2x downsample + normalize: 4K uint8 -> 1080p normalized f32
+    (the reference loader's resize+normalize, mp_loader.py:236-239)."""
+    lib = _load()
+    h, w = frame_u8.shape[:2]
+    if lib is not None:
+        out = np.empty((h // 2, w // 2, 3), np.float32)
+        lib.fp_preprocess(
+            np.ascontiguousarray(frame_u8), out, h, w,
+            np.ascontiguousarray(IMAGENET_MEAN), np.ascontiguousarray(IMAGENET_STD),
+            n_threads,
+        )
+        return out
+    return normalize(resize_half(frame_u8), n_threads)
+
+
+def parse_timestamp_native(
+    frame_u8: np.ndarray, g: Optional[TimestampGeometry] = None
+) -> Optional[float]:
+    """Native burned-in timestamp decode; None on checksum mismatch or if
+    the native library is unavailable (callers fall back to the numpy
+    decoder in data.timestamps)."""
+    lib = _load()
+    if lib is None:
+        return None
+    g = g or TimestampGeometry()
+    table = precomputed_checksums(g)
+    checks = np.stack([table[str(d)].reshape(-1) for d in range(10)]).astype(np.int32)
+    out = np.zeros(g.n, np.int32)
+    h, w = frame_u8.shape[:2]
+    rc = lib.fp_parse_timestamp(
+        np.ascontiguousarray(frame_u8), h, w, g.x0, g.y0, g.w, g.h, g.n,
+        g.decimal_index, g.h13, g.h23, g.w12,
+        np.ascontiguousarray(checks), out,
+    )
+    if rc != 0:
+        return None
+    digits = "".join("." if d < 0 else str(d) for d in out)
+    return float(digits)

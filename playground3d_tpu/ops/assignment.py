@@ -44,12 +44,23 @@ def assign_auction(
     k = max(n, m)
 
     real = row_mask[:, None] & col_mask[None, :]
-    # square problem: real entries keep their benefit, everything else
-    # (padding rows/cols, masked rows/cols) is a zero-benefit dummy
-    b = jnp.zeros((k, k), benefit.dtype)
-    b = b.at[:n, :m].set(jnp.where(real, benefit, 0.0))
+    real_b = jnp.where(real, benefit, 0.0)
+    scale = jnp.maximum(jnp.max(jnp.abs(real_b)), 1e-6)
 
-    scale = jnp.maximum(jnp.max(jnp.abs(b)), 1e-6)
+    # Square problem: real entries keep their benefit; everything else
+    # (padding rows/cols, masked rows/cols) is a *near*-zero dummy with a
+    # tiny diagonal preference. All-equal dummies would make every padded
+    # row bid on the same column (argmax tie-break), serializing the auction
+    # to one assignment per round; the diagonal bias lets all dummies
+    # self-assign in one parallel round. The perturbation is <= 1e-5*scale,
+    # far below the eps_final optimality slack.
+    arange_k = jnp.arange(k)
+    tie_break = (
+        -jnp.abs(arange_k[:, None] - arange_k[None, :]).astype(benefit.dtype)
+        * (scale * 1e-7)
+    )
+    b = tie_break
+    b = b.at[:n, :m].set(jnp.where(real, benefit, tie_break[:n, :m]))
     nk = jnp.asarray(float(k), benefit.dtype)
     eps_final = scale / (1e4 * (nk + 1.0))
     arange_k = jnp.arange(k)
@@ -106,7 +117,7 @@ def assign_auction(
 
         all_assigned = ~jnp.any(col_of_row < 0)
         shrink = all_assigned & (eps > eps_final)
-        new_eps = jnp.where(shrink, eps * 0.2, eps)
+        new_eps = jnp.where(shrink, eps * 0.1, eps)
         # restart assignments when eps shrinks (standard eps-scaling)
         col_of_row = jnp.where(shrink, jnp.full_like(col_of_row, -1), col_of_row)
         row_of_col = jnp.where(shrink, jnp.full_like(row_of_col, -1), row_of_col)

@@ -2,9 +2,20 @@
 
 TPU-native replacement for ``torchvision.ops.nms`` (used at reference
 model.py:56,336,383 and MC3D_crop_tracker.py:507,614,634). Dynamic survivor
-counts are replaced by a fixed ``max_keep`` and a validity mask; suppression
-runs as a bounded ``lax.scan`` of argmax-select / suppress rounds, entirely
-on device.
+counts are replaced by a fixed ``max_keep`` and a validity mask.
+
+Algorithm: greedy score-ordered NMS computed as a **parallel fixed-point
+iteration** instead of a sequential argmax-suppress loop. Define
+``beats[j, i] = score_j > score_i and IoU(j, i) > thr``. Greedy NMS keeps
+box i iff no *kept* higher-scoring j beats it; iterating
+
+    keep[i] <- not any_j (beats[j, i] and keep[j])
+
+from all-true converges to exactly the greedy solution in as many rounds as
+the longest suppression chain (a box revived by its suppressor's
+suppression). Each round is one [K,K] masked reduction — fully parallel on
+the VPU — versus ``max_keep`` sequential argmax rounds: on TPU this turns
+3 x 64 dependent steps per tracker frame into ~10 parallel ops.
 
 Per-class / per-group NMS uses the same coordinate-offset trick as the
 reference's ``batched_nms`` (model.py:49-56).
@@ -19,51 +30,69 @@ import jax.numpy as jnp
 
 from playground3d_tpu.ops.iou import pairwise_iou
 
-__all__ = ["nms", "batched_nms"]
+__all__ = ["nms", "batched_nms", "nms_iterations_for"]
 
 NEG_INF = -1e30
 
 
-@functools.partial(jax.jit, static_argnames=("max_keep",))
+def nms_iterations_for(n: int) -> int:
+    """Fixed-point rounds: suppression chains longer than ~16 do not occur in
+    detection workloads (each link needs a strictly-lower score and >thr
+    overlap with the previous link but not earlier kept links)."""
+    return min(max(8, n // 8), 16)
+
+
+@functools.partial(jax.jit, static_argnames=("max_keep", "n_iter"))
 def nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
     mask: jnp.ndarray,
     iou_threshold: float,
     max_keep: int = 100,
+    n_iter: int | None = None,
 ):
-    """Greedy score-ordered NMS.
+    """Greedy score-ordered NMS (torchvision semantics).
 
-    boxes  [N,4] xyxy; scores [N]; mask [N] valid flags.
-    Returns (keep_idx [max_keep] int32, keep_mask [max_keep] bool) — the
-    selected indices in decreasing-score order, padded with 0s where
-    keep_mask is False. Semantics match torchvision ``nms``: a box is
-    suppressed iff IoU with an already-kept higher-scoring box > threshold.
-
-    Each of the ``max_keep`` rounds picks the live argmax and kills every box
-    with IoU > threshold against it — O(max_keep * N) vectorized work with no
-    data-dependent shapes.
+    boxes [N,4] xyxy; scores [N]; mask [N] valid flags.
+    Returns (keep_idx [max_keep] int32, keep_mask [max_keep] bool): selected
+    indices in decreasing-score order, 0-padded where keep_mask is False.
     """
     n = boxes.shape[0]
-    live_scores = jnp.where(mask, scores, NEG_INF)
+    if n_iter is None:
+        n_iter = nms_iterations_for(n)
 
-    def body(carry, _):
-        live = carry
-        i = jnp.argmax(live)
-        valid = live[i] > NEG_INF / 2
-        ref = boxes[i][None, :]
-        iou_row = pairwise_iou(ref, boxes)[0]  # [N]
-        kill = (iou_row > iou_threshold) | (
-            jnp.arange(n) == i
-        )  # self is consumed too
-        live = jnp.where(valid & kill, NEG_INF, live)
-        return live, (jnp.where(valid, i, 0).astype(jnp.int32), valid)
+    s = jnp.where(mask, scores, NEG_INF)
+    iou = pairwise_iou(boxes, boxes)
+    # j beats i: higher score (index as tie-break), both valid, IoU > thr
+    order_j = s[:, None] > s[None, :]
+    tie = (s[:, None] == s[None, :]) & (
+        jnp.arange(n)[:, None] < jnp.arange(n)[None, :]
+    )
+    beats = (
+        (order_j | tie)
+        & (iou > iou_threshold)
+        & mask[:, None]
+        & mask[None, :]
+    )
 
-    _, (keep_idx, keep_mask) = jax.lax.scan(body, live_scores, None, length=max_keep)
+    def body(_, keep):
+        return ~jnp.any(beats & keep[:, None], axis=0) & mask
+
+    keep = jax.lax.fori_loop(0, n_iter, body, mask)
+
+    # compact kept indices in decreasing-score order
+    rank_scores = jnp.where(keep, s, NEG_INF)
+    top_s, top_i = jax.lax.top_k(rank_scores, min(max_keep, n))
+    keep_mask = top_s > NEG_INF / 2
+    keep_idx = jnp.where(keep_mask, top_i, 0).astype(jnp.int32)
+    if max_keep > n:
+        pad = max_keep - n
+        keep_idx = jnp.concatenate([keep_idx, jnp.zeros((pad,), jnp.int32)])
+        keep_mask = jnp.concatenate([keep_mask, jnp.zeros((pad,), bool)])
     return keep_idx, keep_mask
 
 
-@functools.partial(jax.jit, static_argnames=("max_keep",))
+@functools.partial(jax.jit, static_argnames=("max_keep", "n_iter"))
 def batched_nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -71,6 +100,7 @@ def batched_nms(
     mask: jnp.ndarray,
     iou_threshold: float,
     max_keep: int = 100,
+    n_iter: int | None = None,
 ):
     """Per-group NMS via coordinate offsets (reference model.py:49-56).
 
@@ -80,4 +110,4 @@ def batched_nms(
     max_c = jnp.max(jnp.where(mask, jnp.max(boxes, axis=1), 0.0))
     offset = groups.astype(boxes.dtype) * (max_c + 1.0)
     shifted = boxes + offset[:, None]
-    return nms(shifted, scores, mask, iou_threshold, max_keep=max_keep)
+    return nms(shifted, scores, mask, iou_threshold, max_keep=max_keep, n_iter=n_iter)

@@ -1,0 +1,112 @@
+"""Data layer tests: timestamp codec roundtrip, synthetic video source,
+PNG I/O, prefetching."""
+
+import numpy as np
+import pytest
+
+from playground3d_tpu.data.timestamps import (
+    TimestampGeometry,
+    encode_timestamp,
+    parse_frame_timestamp,
+    precomputed_checksums,
+)
+from playground3d_tpu.data.video import (
+    AsyncFrameWriter,
+    ImageDirSource,
+    PrefetchingSource,
+    SyntheticVideoSource,
+    read_png,
+    write_png,
+)
+
+
+def test_timestamp_roundtrip():
+    frame = np.random.default_rng(0).uniform(0, 1, (256, 512, 3)).astype(np.float32)
+    for ts in [1623877088.77, 1600000000.00, 1699999999.99, 7.5]:
+        burned = encode_timestamp(frame, ts)
+        got, err = parse_frame_timestamp(burned)
+        assert err is None
+        assert got == pytest.approx(ts, abs=0.005)
+
+
+def test_timestamp_reject_corrupted():
+    frame = np.zeros((256, 512, 3), np.float32)
+    burned = encode_timestamp(frame, 1623877088.77)
+    g = TimestampGeometry()
+    # corrupt one digit's pixels
+    burned[g.y0 : g.y0 + g.h, g.x0 + 2 * g.w : g.x0 + 3 * g.w] = 0.7
+    got, err = parse_frame_timestamp(burned)
+    assert got is None and err is not None
+
+
+def test_checksums_unique():
+    cs = precomputed_checksums()
+    flat = {tuple(v.reshape(-1)) for v in cs.values()}
+    assert len(flat) == 10  # all digit checksums distinct (exact-match works)
+
+
+def test_synthetic_video_source(toy_camera):
+    from playground3d_tpu.data.synthetic import SyntheticScene
+
+    reg = toy_camera["registry"]
+    src = SyntheticVideoSource(
+        SyntheticScene(n_objects=3, seed=0), reg.P[0, 0],
+        n_frames=5, height=256, width=512, t0=1.6e9,
+    )
+    frames = list(src)
+    assert len(frames) == 5
+    f0, t0 = frames[0]
+    assert f0.shape == (256, 512, 3)
+    assert t0 == pytest.approx(1.6e9)
+    # timestamps parse back from the normalized frame? encode happened
+    # pre-normalization; decode from unnormalized source instead
+    src2 = SyntheticVideoSource(
+        SyntheticScene(n_objects=3, seed=0), reg.P[0, 0],
+        n_frames=2, height=256, width=512, t0=1.6e9, normalized=False,
+    )
+    f, t = next(src2)
+    got, err = parse_frame_timestamp(f)
+    assert err is None and got == pytest.approx(1.6e9, abs=0.01)
+
+
+def test_png_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (37, 53, 3), dtype=np.uint8)
+    p = str(tmp_path / "x.png")
+    write_png(p, img)
+    back = read_png(p)
+    np.testing.assert_array_equal(back, img)
+
+
+def test_image_dir_source(tmp_path):
+    for i in range(3):
+        np.save(str(tmp_path / f"f{i:03d}.npy"), np.full((8, 8, 3), i, np.float32))
+    src = ImageDirSource(str(tmp_path), normalized=False)
+    frames = list(src)
+    assert len(frames) == 3
+    np.testing.assert_allclose(frames[2][0][0, 0, 0], 2.0)
+
+
+def test_prefetching_source(toy_camera):
+    from playground3d_tpu.data.synthetic import SyntheticScene
+
+    reg = toy_camera["registry"]
+    src = SyntheticVideoSource(
+        SyntheticScene(n_objects=2, seed=0), reg.P[0, 0],
+        n_frames=4, height=64, width=96,
+    )
+    out = list(PrefetchingSource(src, depth=2))
+    assert len(out) == 4
+
+
+def test_async_writer(tmp_path):
+    import time
+
+    w = AsyncFrameWriter(str(tmp_path / "out"))
+    for i in range(3):
+        w(np.full((8, 8, 3), i / 4, np.float32))
+    time.sleep(0.5)
+    import os
+
+    files = os.listdir(str(tmp_path / "out"))
+    assert len(files) == 3
