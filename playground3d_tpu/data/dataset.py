@@ -71,6 +71,78 @@ def photometric_jitter(frame: np.ndarray, rng: np.random.Generator, strength=0.2
     return frame * scale + shift
 
 
+def rotate(frame: np.ndarray, labels: np.ndarray, angle_deg: float) -> Tuple[np.ndarray, np.ndarray]:
+    """Rotate the image about its center and re-project all label
+    coordinates (reference corrected_3D_dataset.py:367-391)."""
+    h, w = frame.shape[:2]
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    th = np.deg2rad(angle_deg)
+    cos, sin = np.cos(th), np.sin(th)
+
+    # inverse-map output pixels to input pixels (nearest neighbor)
+    ys, xs = np.mgrid[0:h, 0:w]
+    xi = cos * (xs - cx) + sin * (ys - cy) + cx
+    yi = -sin * (xs - cx) + cos * (ys - cy) + cy
+    xi = np.clip(np.round(xi).astype(int), 0, w - 1)
+    yi = np.clip(np.round(yi).astype(int), 0, h - 1)
+    out = frame[yi, xi]
+
+    labels = labels.copy()
+    valid = labels[:, 20] >= 0
+    pts = labels[:, :16].reshape(-1, 8, 2)
+    px = pts[..., 0] - cx
+    py = pts[..., 1] - cy
+    # forward rotation of label points
+    pts[..., 0] = cos * px - sin * py + cx
+    pts[..., 1] = sin * px + cos * py + cy
+    labels[:, :16] = pts.reshape(-1, 16)
+    xsx = labels[:, 0:16:2]
+    ysy = labels[:, 1:16:2]
+    labels[valid, 16] = xsx[valid].min(1)
+    labels[valid, 17] = ysy[valid].min(1)
+    labels[valid, 18] = xsx[valid].max(1)
+    labels[valid, 19] = ysy[valid].max(1)
+    return out, labels
+
+
+def tile_shuffle(frame: np.ndarray, labels: np.ndarray, rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray]:
+    """2x2 tile permutation with label remapping; objects whose 2D box
+    crosses a tile boundary are dropped (reference
+    corrected_3D_dataset.py:427-492)."""
+    h, w = frame.shape[:2]
+    th, tw = h // 2, w // 2
+    perm = rng.permutation(4)
+    out = frame.copy()
+    # tile k occupies (row k//2, col k%2)
+    origins = [(0, 0), (0, tw), (th, 0), (th, tw)]
+    for dst, src in enumerate(perm):
+        sy, sx = origins[src]
+        dy, dx = origins[dst]
+        out[dy : dy + th, dx : dx + tw] = frame[sy : sy + th, sx : sx + tw]
+
+    new_labels = []
+    for lab in labels:
+        if lab[20] < 0:
+            continue
+        x1, y1, x2, y2 = lab[16:20]
+        # which tile does the box live in entirely?
+        col = 0 if x2 < tw else (1 if x1 >= tw else -1)
+        row = 0 if y2 < th else (1 if y1 >= th else -1)
+        if col < 0 or row < 0:
+            continue  # crosses boundary: drop
+        src = row * 2 + col
+        dst = int(np.where(perm == src)[0][0])
+        sy, sx = origins[src]
+        dy, dx = origins[dst]
+        l2 = lab.copy()
+        l2[0:16:2] += dx - sx
+        l2[1:16:2] += dy - sy
+        l2[16:20:2] += dx - sx
+        l2[17:20:2] += dy - sy
+        new_labels.append(l2)
+    return out, np.asarray(new_labels, np.float32).reshape(-1, 21)
+
+
 class SyntheticDetectionDataset:
     """Infinite sampler of (frame [H,W,3], labels [MAX_OBJS,21]) pairs."""
 

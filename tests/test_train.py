@@ -117,3 +117,35 @@ def test_fit_kf_recovers_noise(rng):
         fit_kf.save_kf_params(p, out)
         back = fit_kf.load_kf_params(p)
         np.testing.assert_allclose(back["Q"], out["Q"])
+
+
+def test_rotate_labels_consistent():
+    from playground3d_tpu.data.dataset import SyntheticDetectionDataset, rotate
+
+    ds = SyntheticDetectionDataset(image_shape=(128, 192), n_objects=3, seed=4, augment=False)
+    frame, labels = ds.sample()
+    valid = labels[:, 20] >= 0
+    f2, l2 = rotate(frame, labels, 10.0)
+    assert f2.shape == frame.shape
+    # rotating back restores corner coordinates
+    f3, l3 = rotate(f2, l2, -10.0)
+    np.testing.assert_allclose(l3[valid, :16], labels[valid, :16], atol=1e-3)
+
+
+def test_tile_shuffle_remaps():
+    from playground3d_tpu.data.dataset import tile_shuffle
+
+    rng = np.random.default_rng(0)
+    frame = np.zeros((64, 96, 3), np.float32)
+    labels = np.full((2, 21), -1, np.float32)
+    # a small box fully inside tile (0,0)
+    labels[0, :16] = np.tile([10, 10], 8) + np.arange(16) % 2
+    labels[0, 16:20] = [8, 8, 14, 14]
+    labels[0, 20] = 1
+    frame[8:14, 8:14] = 1.0
+    out, new = tile_shuffle(frame, labels, rng)
+    assert len(new) == 1
+    x1, y1 = new[0, 16], new[0, 17]
+    # the bright patch moved with the label
+    patch = out[int(y1) : int(y1) + 6, int(x1) : int(x1) + 6]
+    assert patch.mean() > 0.9
