@@ -35,13 +35,15 @@ def main() -> None:
 
     from playground3d_tpu.geometry.homography import CameraRegistry
     from playground3d_tpu.models import retinanet_init
-    from playground3d_tpu.pipeline.single_cam import make_full_step
+    from playground3d_tpu.pipeline.single_cam import make_clip_step, make_full_step
     from playground3d_tpu.pipeline.tracker_state import init_track_state
     from playground3d_tpu.track.kf import default_params
     from playground3d_tpu.utils.config import TrackerConfig
 
     H, W = 1080, 1920
     DEPTH = 50
+    STEM = "s2d"  # host-packed space-to-depth input: the [H,W,3] layout
+    # pads 3->128 lanes on TPU; packing on the host makes the stem MXU-shaped
     N_WARM = 3
     N_ITERS = 30
 
@@ -69,26 +71,34 @@ def main() -> None:
     cfg = TrackerConfig(max_tracks=64, max_dets=64, pre_topk=2048, x_range=(300.0, 800.0))
     kfp = default_params()
     bank = bank_from_registry(reg)
-    params = retinanet_init(jax.random.PRNGKey(0), num_classes=8, depth=DEPTH)
-    step = make_full_step(params, DEPTH, bank, kfp, cfg)
+    params = retinanet_init(jax.random.PRNGKey(0), num_classes=8, depth=DEPTH, stem=STEM)
+    T_CLIP = 10  # frames advanced per device call (lax.scan clip API)
+    clip = make_clip_step(params, DEPTH, bank, kfp, cfg, stem=STEM)
 
     state = init_track_state(cfg.max_tracks)
-    frames = jnp.asarray(rng.normal(0, 1, (1, H, W, 3)).astype(np.float32))
+    from playground3d_tpu.data.video import pack_s2d
+
+    raw = rng.normal(0, 1, (H, W, 3)).astype(np.float32)
+    packed = pack_s2d(raw) if STEM == "s2d" else raw
+    frames = jnp.asarray(np.broadcast_to(packed[None, None], (T_CLIP, 1) + packed.shape).copy())
+
+    def times_for(i0):
+        return jnp.asarray(
+            (np.arange(T_CLIP, dtype=np.float32)[:, None] + i0) / 30.0
+        )
 
     # warm up / compile
     for i in range(N_WARM):
-        cam_times = jnp.asarray([np.float32(i / 30.0)])
-        state, snap = step(state, frames, cam_times)
-    jax.block_until_ready(snap.states7)
+        state, snaps = clip(state, frames, times_for(i * T_CLIP))
+    jax.block_until_ready(snaps.states7)
 
     start = time.time()
     for i in range(N_ITERS):
-        cam_times = jnp.asarray([np.float32((N_WARM + i) / 30.0)])
-        state, snap = step(state, frames, cam_times)
-    jax.block_until_ready(snap.states7)
+        state, snaps = clip(state, frames, times_for((N_WARM + i) * T_CLIP))
+    jax.block_until_ready(snaps.states7)
     wall = time.time() - start
 
-    fps = N_ITERS / wall
+    fps = N_ITERS * T_CLIP / wall
     baseline = 500.0  # BASELINE.json north star, frames/sec/chip
     print(
         json.dumps(

@@ -115,6 +115,87 @@ void fp_preprocess(const uint8_t* in, float* out, int h, int w,
   for (auto& th : ts) th.join();
 }
 
+// fused 2x downsample + normalize + space-to-depth(4x4) pack:
+// in [h,w,3] uint8 (4K) -> out [h/8, w/8, 48] float32 normalized, packed for
+// the TPU s2d stem (models/resnet.py): out[y, x, (by*4+bx)*3 + c] holds the
+// normalized pixel of 1080p position (4y+by, 4x+bx).
+void fp_preprocess_s2d(const uint8_t* in, float* out, int h, int w,
+                       const float* mean, const float* std_, int n_threads) {
+  const int oh1 = h / 2, ow1 = w / 2;     // 1080p intermediate
+  const int oh = oh1 / 4, ow = ow1 / 4;   // packed grid
+  float scale[3], shift[3];
+  for (int c = 0; c < 3; ++c) {
+    scale[c] = 1.0f / (4.0f * 255.0f * std_[c]);
+    shift[c] = -mean[c] / std_[c];
+  }
+  auto rows_fn = [&](int y0, int y1) {
+    for (int y = y0; y < y1; ++y) {        // packed row
+      float* o = out + (size_t)y * ow * 48;
+      for (int by = 0; by < 4; ++by) {     // 1080p row within the 4x4 block
+        const int ry = (y * 4 + by) * 2;   // source 4K row (pre-downsample)
+        const uint8_t* r0 = in + (size_t)ry * w * 3;
+        const uint8_t* r1 = r0 + (size_t)w * 3;
+        for (int x = 0; x < ow; ++x) {
+          for (int bx = 0; bx < 4; ++bx) {
+            const int i = ((x * 4 + bx) * 2) * 3;
+            float* dst = o + (size_t)x * 48 + (by * 4 + bx) * 3;
+            for (int c = 0; c < 3; ++c) {
+              const int s =
+                  r0[i + c] + r0[i + 3 + c] + r1[i + c] + r1[i + 3 + c];
+              dst[c] = s * scale[c] + shift[c];
+            }
+          }
+        }
+      }
+    }
+  };
+  if (n_threads <= 1) {
+    rows_fn(0, oh);
+    return;
+  }
+  std::vector<std::thread> ts;
+  const int rows = (oh + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    const int y0 = t * rows;
+    const int y1 = y0 + rows < oh ? y0 + rows : oh;
+    if (y0 >= y1) break;
+    ts.emplace_back(rows_fn, y0, y1);
+  }
+  for (auto& th : ts) th.join();
+}
+
+// space-to-depth(4x4) pack of an already-preprocessed float frame:
+// in [h,w,3] float32 -> out [h/4, w/4, 48] float32
+void fp_pack_s2d(const float* in, float* out, int h, int w, int n_threads) {
+  const int oh = h / 4, ow = w / 4;
+  auto rows_fn = [&](int y0, int y1) {
+    for (int y = y0; y < y1; ++y) {
+      float* o = out + (size_t)y * ow * 48;
+      for (int by = 0; by < 4; ++by) {
+        const float* r = in + (size_t)(y * 4 + by) * w * 3;
+        for (int x = 0; x < ow; ++x) {
+          const float* src = r + (size_t)x * 12;  // 4 px * 3 ch
+          float* dst = o + (size_t)x * 48 + by * 12;
+          std::memcpy(dst, src, 12 * sizeof(float));
+        }
+      }
+    }
+  };
+  if (n_threads <= 1) {
+    rows_fn(0, oh);
+    return;
+  }
+  std::vector<std::thread> ts;
+  const int rows = (oh + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    const int y0 = t * rows;
+    const int y1 = y0 + rows < oh ? y0 + rows : oh;
+    if (y0 >= y1) break;
+    ts.emplace_back(rows_fn, y0, y1);
+  }
+  for (auto& th : ts) th.join();
+}
+
 // Burned-in timestamp decode by 6-region pixel checksum (exact match).
 // frame: [h,w,3] uint8. geometry: x0,y0,cell_w,cell_h,n_cells,dec_idx,
 // h13,h23,w12. checksums: [10,6] int32 reference table (digit-major).

@@ -52,6 +52,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.fp_resize_half.argtypes = [u8p, u8p, ctypes.c_int, ctypes.c_int]
     lib.fp_normalize.argtypes = [u8p, f32p, ctypes.c_int, ctypes.c_int, f32p, f32p, ctypes.c_int]
     lib.fp_preprocess.argtypes = [u8p, f32p, ctypes.c_int, ctypes.c_int, f32p, f32p, ctypes.c_int]
+    lib.fp_preprocess_s2d.argtypes = [u8p, f32p, ctypes.c_int, ctypes.c_int, f32p, f32p, ctypes.c_int]
+    lib.fp_pack_s2d.argtypes = [f32p, f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.fp_parse_timestamp.argtypes = [u8p] + [ctypes.c_int] * 11 + [i32p, i32p]
     lib.fp_parse_timestamp.restype = ctypes.c_int
     _lib = lib
@@ -104,6 +106,38 @@ def preprocess(frame_u8: np.ndarray, n_threads: int = 4) -> np.ndarray:
         )
         return out
     return normalize(resize_half(frame_u8), n_threads)
+
+
+def preprocess_s2d(frame_u8: np.ndarray, n_threads: int = 4) -> np.ndarray:
+    """Fused 2x downsample + normalize + space-to-depth(4x4) pack:
+    4K uint8 -> [H/8, W/8, 48] normalized float32, the layout consumed by
+    the TPU s2d stem (models/resnet.py)."""
+    lib = _load()
+    h, w = frame_u8.shape[:2]
+    if lib is not None:
+        out = np.empty((h // 8, w // 8, 48), np.float32)
+        lib.fp_preprocess_s2d(
+            np.ascontiguousarray(frame_u8), out, h, w,
+            np.ascontiguousarray(IMAGENET_MEAN), np.ascontiguousarray(IMAGENET_STD),
+            n_threads,
+        )
+        return out
+    from playground3d_tpu.data.video import pack_s2d
+
+    return pack_s2d(preprocess(frame_u8, n_threads))
+
+
+def pack_s2d_native(frame_f32: np.ndarray, n_threads: int = 4) -> np.ndarray:
+    """[H,W,3] float32 -> [H/4,W/4,48] float32 s2d packing."""
+    lib = _load()
+    h, w = frame_f32.shape[:2]
+    if lib is not None:
+        out = np.empty((h // 4, w // 4, 48), np.float32)
+        lib.fp_pack_s2d(np.ascontiguousarray(frame_f32), out, h, w, n_threads)
+        return out
+    from playground3d_tpu.data.video import pack_s2d
+
+    return pack_s2d(frame_f32)
 
 
 def parse_timestamp_native(

@@ -58,6 +58,19 @@ def _probe_decoder():
 DECODER = _probe_decoder()
 
 
+def pack_s2d(frame: np.ndarray, block: int = 4) -> np.ndarray:
+    """Host-side space-to-depth packing [H,W,3] -> [H/b,W/b,3*b*b].
+
+    A 3-channel tensor on TPU pads its lane dim 3->128 (~42x waste on every
+    op that touches it); the host packs during preprocessing so the device
+    never sees the bad layout (models/resnet.py stem="s2d")."""
+    h, w, c = frame.shape
+    x = frame[: h // block * block, : w // block * block]
+    x = x.reshape(h // block, block, w // block, block, c)
+    x = x.transpose(0, 2, 1, 3, 4)
+    return np.ascontiguousarray(x.reshape(h // block, w // block, c * block * block))
+
+
 def normalize_frame(frame_u8: np.ndarray) -> np.ndarray:
     """uint8 [H,W,3] -> ImageNet-normalized float32 (mp_loader.py:237-239)."""
     f = frame_u8.astype(np.float32) / 255.0

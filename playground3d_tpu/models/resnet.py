@@ -79,16 +79,37 @@ def _bottleneck_apply(p: Params, x, stride, dtype) -> jnp.ndarray:
     return jax.nn.relu(out + res)
 
 
-def resnet_init(key, depth: int = 50) -> Params:
+def space_to_depth(x: jnp.ndarray, block: int = 4) -> jnp.ndarray:
+    """[N,H,W,C] -> [N,H/b,W/b,C*b*b]. On TPU a 3-channel image tensor pads
+    its lane dimension 3 -> 128 (~42x wasted bandwidth and MXU occupancy on
+    every op that touches it); packing 4x4 patches into 48 channels makes
+    the stem MXU-shaped. Hosts should pack during preprocessing (the device
+    reshape itself pays the bad layout once)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // block, block, w // block, block, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // block, w // block, c * block * block)
+
+
+def resnet_init(key, depth: int = 50, stem: str = "conv7") -> Params:
+    """``stem``: "conv7" = reference-parity 7x7/2 conv + 3x3/2 maxpool;
+    "s2d" = space-to-depth(4x4) + 3x3/1 conv (same output resolution,
+    MXU-friendly; the default for the TPU fast path)."""
     block_type, layers = LAYER_SPECS[depth]
     expansion = 1 if block_type == "basic" else 4
     block_init = _basic_block_init if block_type == "basic" else _bottleneck_init
 
     keys = jax.random.split(key, 8)
-    params: Params = {
-        "conv1": conv_init(keys[0], 3, 64, 7),
-        "bn1": bn_init(64),
-    }
+    if stem == "s2d":
+        params: Params = {
+            "conv1": conv_init(keys[0], 48, 64, 3),
+            "bn1": bn_init(64),
+        }
+    else:
+        params = {
+            "conv1": conv_init(keys[0], 3, 64, 7),
+            "bn1": bn_init(64),
+        }
     in_ch = 64
     for stage, (planes, n_blocks, stride) in enumerate(
         zip((64, 128, 256, 512), layers, (1, 2, 2, 2))
@@ -109,14 +130,26 @@ def fpn_sizes(depth: int) -> Tuple[int, int, int]:
     return 128 * expansion, 256 * expansion, 512 * expansion
 
 
-def resnet_apply(params: Params, x: jnp.ndarray, depth: int, dtype=jnp.bfloat16):
-    """NHWC image batch -> (C3, C4, C5)."""
+def resnet_apply(
+    params: Params, x: jnp.ndarray, depth: int, dtype=jnp.bfloat16, stem: str = "conv7"
+):
+    """NHWC image batch -> (C3, C4, C5).
+
+    With stem="s2d", ``x`` is either raw [N,H,W,3] (packed on device) or
+    pre-packed [N,H/4,W/4,48] from the host pipeline.
+    """
     block_type, layers = LAYER_SPECS[depth]
     block_apply = _basic_block_apply if block_type == "basic" else _bottleneck_apply
 
-    x = conv_apply(params["conv1"], x, stride=2, dtype=dtype)
-    x = jax.nn.relu(bn_apply(params["bn1"], x))
-    x = max_pool(x, 3, 2)
+    if stem == "s2d":
+        if x.shape[-1] == 3:
+            x = space_to_depth(x, 4)
+        x = conv_apply(params["conv1"], x, stride=1, dtype=dtype)
+        x = jax.nn.relu(bn_apply(params["bn1"], x))
+    else:
+        x = conv_apply(params["conv1"], x, stride=2, dtype=dtype)
+        x = jax.nn.relu(bn_apply(params["bn1"], x))
+        x = max_pool(x, 3, 2)
 
     feats = []
     for stage in range(4):

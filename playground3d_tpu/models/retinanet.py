@@ -50,11 +50,13 @@ class Detections(NamedTuple):
     mask: jnp.ndarray  # [K] bool
 
 
-def retinanet_init(key, num_classes: int = DEFAULT_NUM_CLASSES, depth: int = 50) -> Params:
+def retinanet_init(
+    key, num_classes: int = DEFAULT_NUM_CLASSES, depth: int = 50, stem: str = "conv7"
+) -> Params:
     kb, kf, kh = jax.random.split(key, 3)
     c3, c4, c5 = fpn_sizes(depth)
     return {
-        "backbone": resnet_init(kb, depth),
+        "backbone": resnet_init(kb, depth, stem=stem),
         "fpn": fpn_init(kf, c3, c4, c5),
         "heads": head_init(kh, num_classes),
     }
@@ -67,17 +69,29 @@ def forward_raw(
     num_classes: int = DEFAULT_NUM_CLASSES,
     dtype=jnp.bfloat16,
     apply_sigmoid: bool = True,
+    stem: str = "conv7",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """NHWC images -> (classification [N,A,K] (sigmoided), regression [N,A,12])."""
-    c3, c4, c5 = resnet_apply(params["backbone"], images, depth, dtype)
+    """NHWC images -> (classification [N,A,K] (sigmoided), regression [N,A,12]).
+
+    With stem="s2d" the input may be host-packed [N,H/4,W/4,48]."""
+    c3, c4, c5 = resnet_apply(params["backbone"], images, depth, dtype, stem=stem)
     feats = fpn_apply(params["fpn"], c3, c4, c5, dtype)
     return head_apply(
         params["heads"], feats, num_classes, dtype=dtype, apply_sigmoid=apply_sigmoid
     )
 
 
+def _image_shape_of(images: jnp.ndarray, stem: str) -> Tuple[int, int]:
+    """Pixel-space (H, W) for anchor generation, accounting for host-packed
+    space-to-depth inputs ([N,H/4,W/4,48])."""
+    h, w = images.shape[1:3]
+    if stem == "s2d" and images.shape[-1] == 48:
+        return h * 4, w * 4
+    return h, w
+
+
 @functools.partial(
-    jax.jit, static_argnames=("depth", "num_classes", "pre_topk", "max_dets")
+    jax.jit, static_argnames=("depth", "num_classes", "pre_topk", "max_dets", "stem")
 )
 def detect_multiframe(
     params: Params,
@@ -88,6 +102,7 @@ def detect_multiframe(
     nms_iou: float = 0.5,
     pre_topk: int = 4096,
     max_dets: int = 256,
+    stem: str = "conv7",
 ) -> Detections:
     """Batched multi-camera detection (reference MULTI_FRAME path,
     model.py:311-344).
@@ -99,8 +114,8 @@ def detect_multiframe(
     adaptive-threshold loop replaced by top-k.
     """
     n = images.shape[0]
-    anchors = jnp.asarray(anchors_for_shape(tuple(images.shape[1:3])))
-    cls, reg = forward_raw(params, images, depth, num_classes)
+    anchors = jnp.asarray(anchors_for_shape(_image_shape_of(images, stem)))
+    cls, reg = forward_raw(params, images, depth, num_classes, stem=stem)
     boxes = decode_regression(reg, anchors)  # [N,A,20]
 
     a = anchors.shape[0]

@@ -60,9 +60,11 @@ def make_full_step(
     bank: CameraBank,
     kfp: KFParams,
     cfg: TrackerConfig,
+    stem: str = "conv7",
 ):
-    """Jitted (state, frames [C,H,W,3], cam_times [C]) -> (state', snapshot):
-    detector + tracker fused into one device call."""
+    """Jitted (state, frames [C,H,W,3] or s2d-packed [C,H/4,W/4,48],
+    cam_times [C]) -> (state', snapshot): detector + tracker fused into one
+    device call."""
 
     @jax.jit
     def step(state: TrackState, frames: jnp.ndarray, cam_times: jnp.ndarray):
@@ -72,6 +74,7 @@ def make_full_step(
             depth=depth,
             pre_topk=cfg.pre_topk,
             max_dets=cfg.max_dets,
+            stem=stem,
         )
         parsed = parse_detections(det, bank, cam_times, cfg)
         t_ref = jnp.mean(cam_times)
@@ -81,6 +84,36 @@ def make_full_step(
         return state, snap
 
     return step
+
+
+def make_clip_step(
+    det_params,
+    depth: int,
+    bank: CameraBank,
+    kfp: KFParams,
+    cfg: TrackerConfig,
+    stem: str = "conv7",
+):
+    """Jitted clip tracker: (state, frames [T,C,H,W,ch], cam_times [T,C]) ->
+    (state', stacked snapshots over T frames).
+
+    A ``lax.scan`` over the fused per-frame step — the whole clip advances in
+    ONE device call, so per-frame host dispatch disappears entirely. Stage a
+    clip in HBM, scan, drain T snapshots at once.
+    """
+    step = make_full_step(det_params, depth, bank, kfp, cfg, stem=stem)
+
+    @jax.jit
+    def clip(state: TrackState, frames: jnp.ndarray, cam_times: jnp.ndarray):
+        def body(s, xt):
+            f, t = xt
+            s2, snap = step(s, f, t)
+            return s2, snap
+
+        state, snaps = jax.lax.scan(body, state, (frames, cam_times))
+        return state, snaps
+
+    return clip
 
 
 class SingleCameraTracker:

@@ -40,6 +40,7 @@ class TrainState(NamedTuple):
 @dataclass
 class TrainConfig:
     depth: int = 50
+    stem: str = "conv7"  # "s2d" = TPU-fast space-to-depth stem
     num_classes: int = 8
     lr: float = 1e-4
     grad_clip: float = 0.1
@@ -59,7 +60,9 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 def init_train_state(key, cfg: TrainConfig, params=None) -> Tuple[TrainState, optax.GradientTransformation]:
     if params is None:
-        params = retinanet_init(key, num_classes=cfg.num_classes, depth=cfg.depth)
+        params = retinanet_init(
+            key, num_classes=cfg.num_classes, depth=cfg.depth, stem=cfg.stem
+        )
     opt = make_optimizer(cfg)
     return TrainState(params=params, opt_state=opt.init(params), step=jnp.asarray(0)), opt
 
@@ -72,7 +75,8 @@ def make_train_step(cfg: TrainConfig, opt: optax.GradientTransformation, mesh=No
 
     def loss_fn(params, images, annotations):
         cls, reg = forward_raw(
-            params, images, depth=cfg.depth, num_classes=cfg.num_classes
+            params, images, depth=cfg.depth, num_classes=cfg.num_classes,
+            stem=cfg.stem,
         )
         l_cls, l_reg, l_vp = detection_loss(cls, reg, annotations, anchors)
         total = l_cls + l_reg + l_vp  # equal-weight sum (train_...py:378)

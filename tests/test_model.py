@@ -182,3 +182,26 @@ def test_loss_perfect_regression_near_zero(rng):
     _, l_reg, l_vp = detection_loss(cls, jnp.asarray(reg), ann, anchors)
     assert float(l_reg) < 1e-5, float(l_reg)
     assert float(l_vp) < 1e-3, float(l_vp)
+
+
+def test_s2d_stem_shapes():
+    """s2d stem: same anchor count and output shapes from raw or host-packed
+    input."""
+    from playground3d_tpu.data.video import pack_s2d
+
+    params = retinanet_init(jax.random.PRNGKey(1), num_classes=8, depth=18, stem="s2d")
+    raw = np.zeros((*IMG, 3), np.float32)
+    packed = pack_s2d(raw)
+    assert packed.shape == (IMG[0] // 4, IMG[1] // 4, 48)
+
+    a = anchors_for_shape(IMG).shape[0]
+    cls1, reg1 = forward_raw(params, jnp.asarray(raw[None]), depth=18, stem="s2d")
+    cls2, reg2 = forward_raw(params, jnp.asarray(packed[None]), depth=18, stem="s2d")
+    assert cls1.shape == (1, a, 8) and cls2.shape == (1, a, 8)
+    # device-side packing and host packing agree
+    np.testing.assert_allclose(np.asarray(cls1), np.asarray(cls2), atol=1e-5)
+
+    det = detect_multiframe(
+        params, jnp.asarray(packed[None]), depth=18, pre_topk=256, max_dets=16, stem="s2d"
+    )
+    assert det.boxes.shape == (16, 20)

@@ -134,3 +134,38 @@ def test_track_ids_stable(toy_camera, scene):
     for _, _, ids, _, _ in tracker.rows:
         all_ids.update(int(i) for i in ids)
     assert len(all_ids) <= scene.n_objects + 3
+
+
+def test_clip_step_matches_frame_steps(toy_camera, scene):
+    """lax.scan clip tracking == per-frame stepping (same states, ids)."""
+    import jax.numpy as jnp
+    from playground3d_tpu.models import retinanet_init
+    from playground3d_tpu.pipeline.camera_bank import bank_from_registry
+    from playground3d_tpu.pipeline.single_cam import make_clip_step, make_full_step
+    from playground3d_tpu.pipeline.tracker_state import init_track_state
+    from playground3d_tpu.track.kf import default_params
+    import jax
+
+    reg = toy_camera["registry"]
+    cfg = TrackerConfig(max_tracks=8, max_dets=16, x_range=(300.0, 750.0), f_init=1,
+                        pre_topk=256)
+    kfp = default_params()
+    bank = bank_from_registry(reg)
+    params = retinanet_init(jax.random.PRNGKey(0), depth=18)
+    step = make_full_step(params, 18, bank, kfp, cfg)
+    clip = make_clip_step(params, 18, bank, kfp, cfg)
+
+    rng = np.random.default_rng(0)
+    T = 3
+    frames = jnp.asarray(rng.normal(0, 1, (T, 1, 64, 128, 3)).astype(np.float32))
+    times = jnp.asarray(np.arange(T, dtype=np.float32)[:, None] / 30.0)
+
+    s1 = init_track_state(cfg.max_tracks)
+    for t in range(T):
+        s1, snap1 = step(s1, frames[t], times[t])
+
+    s2, snaps = clip(init_track_state(cfg.max_tracks), frames, times)
+    np.testing.assert_allclose(
+        np.asarray(s1.kf.x), np.asarray(s2.kf.x), atol=1e-4
+    )
+    assert snaps.states7.shape[0] == T
