@@ -53,3 +53,34 @@ def test_focal_loss_2d(params):
     ann0 = jnp.full((1, 4, 5), -1.0, jnp.float32)
     _, l_reg0 = focal_loss_2d(cls, reg, ann0, anchors)
     assert float(l_reg0) == 0.0
+
+
+def test_csv_dataset(tmp_path):
+    from playground3d_tpu.data.csv_dataset import CSVDetectionDataset
+    from playground3d_tpu.data.video import write_png
+
+    for i in range(3):
+        img = np.random.default_rng(i).integers(0, 255, (96, 128, 3), dtype=np.uint8)
+        write_png(str(tmp_path / f"im{i}.png"), img)
+    ann_path = str(tmp_path / "ann.csv")
+    with open(ann_path, "w") as f:
+        f.write(f"im0.png,10,10,50,40,car\n")
+        f.write(f"im0.png,60,20,90,60,truck\n")
+        f.write(f"im1.png,5,5,30,30,car\n")
+        f.write(f"im2.png,,,,,\n")  # negative image
+    cls_path = str(tmp_path / "classes.csv")
+    with open(cls_path, "w") as f:
+        f.write("car,0\ntruck,1\n")
+
+    ds = CSVDetectionDataset(ann_path, cls_path, root=str(tmp_path), min_side=64, max_side=128, augment=False)
+    assert len(ds) == 3
+    assert ds.num_classes == 2
+    img, ann = ds.sample(0)
+    assert img.shape[0] % 32 == 0 and img.shape[1] % 32 == 0
+    valid = ann[ann[:, 4] >= 0]
+    assert len(valid) == 2
+    # boxes scaled with the image
+    assert 0 < valid[0, 0] < img.shape[1]
+
+    frames, anns = next(ds.batches(2))
+    assert frames.shape[0] == 2 and anns.shape == (2, 64, 5)

@@ -149,3 +149,17 @@ def test_tile_shuffle_remaps():
     # the bright patch moved with the label
     patch = out[int(y1) : int(y1) + 6, int(x1) : int(x1) + 6]
     assert patch.mean() > 0.9
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from playground3d_tpu.train.trainer import TrainConfig, Trainer
+    from playground3d_tpu.utils.checkpoint import load_train_state, save_train_state
+
+    cfg = TrainConfig(depth=18, image_shape=(64, 128))
+    tr = Trainer(cfg, key=jax.random.PRNGKey(0))
+    path = str(tmp_path / "ckpt")
+    save_train_state(path, tr.state)
+    restored = load_train_state(path, tr.state)
+    w0 = jax.tree_util.tree_leaves(tr.state.params)[0]
+    w1 = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(w0), np.asarray(w1))
