@@ -224,6 +224,21 @@ class SyntheticDetectionDataset:
         boxes_im = project(space.reshape(-1, 3)).reshape(-1, 8, 2).astype(np.float32)
         return scale_P_z(P, boxes_im, states[:, 4].astype(np.float32), H)
 
+    def camera_registry(self):
+        """CameraRegistry fit on this dataset's projector — so a tracker can
+        consume detections from a detector trained on this dataset."""
+        from playground3d_tpu.geometry.homography import CameraRegistry
+
+        rng = np.random.default_rng(123)
+        sp = np.stack([rng.uniform(450, 680, 24), rng.uniform(0, 120, 24)], 1)
+        corr = self._project(np.concatenate([sp, np.zeros((24, 1))], 1))
+        vp_z = self._project(np.array([[550.0, 60.0, -1e7]]))[0]
+        h, w = self.image_shape
+        reg = CameraRegistry()
+        reg.add_camera("p1c1", corr, sp, np.array([[1e6, h / 2], [w / 2, 1e6], vp_z]))
+        reg.set_P("p1c1", self._P)
+        return reg
+
     def sample(self) -> Tuple[np.ndarray, np.ndarray]:
         # spawn objects 100-330 ft down-road of the camera (at x=350): closer
         # objects project at extreme perspective (hyper-tall hulls no anchor

@@ -144,7 +144,7 @@ def detect_multiframe(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("depth", "num_classes", "pre_topk", "max_dets")
+    jax.jit, static_argnames=("depth", "num_classes", "pre_topk", "max_dets", "stem")
 )
 def detect_singleframe(
     params: Params,
@@ -155,12 +155,13 @@ def detect_singleframe(
     nms_iou: float = 0.5,
     pre_topk: int = 4096,
     max_dets: int = 256,
+    stem: str = "conv7",
 ) -> Detections:
     """Single-frame per-class NMS (reference default path, model.py:365-397):
     every (anchor, class) score above threshold competes in class-grouped NMS.
     """
-    anchors = jnp.asarray(anchors_for_shape(tuple(image.shape[0:2])))
-    cls, reg = forward_raw(params, image[None], depth, num_classes)
+    anchors = jnp.asarray(anchors_for_shape(_image_shape_of(image[None], stem)))
+    cls, reg = forward_raw(params, image[None], depth, num_classes, stem=stem)
     boxes = decode_regression(reg, anchors)[0]  # [A,20]
     cls = cls[0]  # [A,K]
 
@@ -186,17 +187,18 @@ def detect_singleframe(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("depth", "num_classes"))
+@functools.partial(jax.jit, static_argnames=("depth", "num_classes", "stem"))
 def localize(
     params: Params,
     crops: jnp.ndarray,
     depth: int = 50,
     num_classes: int = DEFAULT_NUM_CLASSES,
+    stem: str = "conv7",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Crop-detector LOCALIZE path (reference model.py:362-363): NHWC crops
     -> (decoded boxes [n, A, 20], class scores [n, A, K]); no NMS — the
     tracker's best-box selection consumes the raw candidates."""
-    anchors = jnp.asarray(anchors_for_shape(tuple(crops.shape[1:3])))
-    cls, reg = forward_raw(params, crops, depth, num_classes)
+    anchors = jnp.asarray(anchors_for_shape(_image_shape_of(crops, stem)))
+    cls, reg = forward_raw(params, crops, depth, num_classes, stem=stem)
     boxes = decode_regression(reg, anchors)
     return boxes, cls

@@ -133,6 +133,7 @@ def make_crop_step(
     centers: jnp.ndarray,  # [C,2] camera view centers in roadway coords
     kfp: KFParams,
     cfg: TrackerConfig,
+    stem: str = "conv7",
 ):
     """Jitted (state, frames [C,H,W,3], cam_times [C]) -> (state', snapshot).
 
@@ -174,7 +175,7 @@ def make_crop_step(
         crops = crop_and_resize(frames, crop_boxes, cam_idx, out_size=cfg.cs)
 
         # crop detector (LOCALIZE path)
-        reg_boxes, cls = localize(crop_params, crops, depth=depth)  # [N,A,20],[N,A,Kc]
+        reg_boxes, cls = localize(crop_params, crops, depth=depth, stem=stem)
         confs = jnp.max(cls, axis=2)
         classes = jnp.argmax(cls, axis=2).astype(jnp.int32)
 
@@ -249,6 +250,7 @@ def make_mc_detect_step(
     bank: CameraBank,
     kfp: KFParams,
     cfg: TrackerConfig,
+    stem: str = "conv7",
 ):
     """Jitted multi-camera full-frame detection step with clock-bias
     estimation (MC3D track() detect branch :1068-1139)."""
@@ -261,7 +263,8 @@ def make_mc_detect_step(
         ts_bias: jnp.ndarray,
     ):
         det = detect_multiframe(
-            det_params, frames, depth=depth, pre_topk=cfg.pre_topk, max_dets=cfg.max_dets
+            det_params, frames, depth=depth, pre_topk=cfg.pre_topk,
+            max_dets=cfg.max_dets, stem=stem,
         )
         corrected = cam_times + ts_bias
         pre = parse_detections_pre(det, bank, corrected, cfg)
@@ -299,6 +302,7 @@ class MultiCameraTracker:
         detect_fn: Optional[Callable] = None,
         crop_fn: Optional[Callable] = None,
         centers: Optional[np.ndarray] = None,
+        stem: str = "conv7",
     ):
         self.registry = registry
         self.cameras = list(cameras)
@@ -320,12 +324,14 @@ class MultiCameraTracker:
         self.crop_fn = crop_fn
         if detect_fn is None:
             assert det_params is not None
-            self._detect_step = make_mc_detect_step(det_params, depth, self.bank, self.kfp, cfg)
+            self._detect_step = make_mc_detect_step(
+                det_params, depth, self.bank, self.kfp, cfg, stem=stem
+            )
         else:
             self._parsed_step = make_mc_detect_step_from_detections(self.bank, self.kfp, cfg)
         if crop_fn is None and crop_params is not None:
             self._crop_step = make_crop_step(
-                crop_params, depth, self.bank, self.centers, self.kfp, cfg
+                crop_params, depth, self.bank, self.centers, self.kfp, cfg, stem=stem
             )
         else:
             self._crop_step = None

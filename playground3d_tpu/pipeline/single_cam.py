@@ -138,6 +138,7 @@ class SingleCameraTracker:
         det_params=None,
         depth: int = 50,
         detect_fn: Optional[Callable] = None,
+        stem: str = "conv7",
     ):
         from playground3d_tpu.pipeline.camera_bank import bank_from_registry
 
@@ -155,7 +156,9 @@ class SingleCameraTracker:
             self._fused = False
         else:
             assert det_params is not None
-            self._full = make_full_step(det_params, depth, self.bank, self.kfp, cfg)
+            self._full = make_full_step(
+                det_params, depth, self.bank, self.kfp, cfg, stem=stem
+            )
             self._fused = True
 
         self.state = init_track_state(cfg.max_tracks)
