@@ -17,24 +17,9 @@ import numpy as np
 
 def _synthetic_registry(n_cameras: int):
     """Build a synthetic multi-camera registry + scene + per-camera sources."""
-    import sys
+    from playground3d_tpu.data.toy_cameras import toy_camera_chain
 
-    sys.path.insert(0, "tests")  # reuse the test fixtures' projector builder
-    from playground3d_tpu.geometry.homography import CameraRegistry
-
-    from tests.conftest import make_projector, register_toy_camera  # type: ignore
-
-    reg = CameraRegistry()
-    ranges = {}
-    base = 350
-    for i in range(n_cameras):
-        name = f"p1c{i + 1}"
-        lo = base + i * 130
-        hi = lo + 210
-        ranges[name] = (lo, hi)
-        proj = make_projector(cam_x=lo - 30.0)
-        register_toy_camera(reg, name, proj, (lo, hi), seed=7 + i)
-    centers = np.array([[(a + b) / 2.0, 60.0] for a, b in ranges.values()], np.float32)
+    reg, ranges, centers, _ = toy_camera_chain(n_cameras)
     return reg, ranges, centers
 
 

@@ -29,43 +29,10 @@ def rng():
     return np.random.default_rng(0)
 
 
-def make_projector(cam_x: float, cam_y: float = 60.0, height: float = 45.0,
-                   f: float = 2000.0, yaw_deg: float = 8.0, pitch_deg: float = 12.0):
-    """Synthetic pole-camera projector: world (road x ft, lane y ft, up -z)
-    -> image pixels."""
-    cx, cy = 960.0, 540.0
-    cam_pos = np.array([cam_x, cam_y, -height])
-
-    def project(pts3):
-        d = pts3 - cam_pos
-        yaw = np.deg2rad(yaw_deg)
-        pitch = np.deg2rad(pitch_deg)
-        Ry = np.array(
-            [[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0], [-np.sin(yaw), 0, np.cos(yaw)]]
-        )
-        Rx = np.array(
-            [[1, 0, 0], [0, np.cos(pitch), -np.sin(pitch)], [0, np.sin(pitch), np.cos(pitch)]]
-        )
-        cam = np.stack([d[:, 1], -d[:, 2], d[:, 0]], axis=1) @ Ry.T @ Rx.T
-        u = f * cam[:, 0] / cam[:, 2] + cx
-        v = f * cam[:, 1] / cam[:, 2] + cy
-        return np.stack([u, v], axis=1)
-
-    return project
-
-
-def register_toy_camera(reg, name, project, x_range, seed=7):
-    """Fit a correspondence for a synthetic camera over the given roadway
-    x-range."""
-    rng = np.random.default_rng(seed)
-    gx = rng.uniform(x_range[0], x_range[1], size=24)
-    gy = rng.uniform(0, 120, size=24)
-    space_pts = np.stack([gx, gy], axis=1)
-    corr_pts = project(np.concatenate([space_pts, np.zeros((24, 1))], axis=1))
-    mid = (x_range[0] + x_range[1]) / 2
-    vp_z = project(np.array([[mid + 100, 60.0, -1e7]]))[0]
-    vps = np.array([[1e6, 540.0], [960.0, 1e6], vp_z])
-    reg.add_camera(name, corr_pts, space_pts, vps)
+from playground3d_tpu.data.toy_cameras import (  # noqa: E402
+    make_projector,
+    register_toy_camera,
+)
 
 
 @pytest.fixture(scope="session")
