@@ -110,7 +110,7 @@ def main(argv=None):
         rng = np.random.default_rng(0)
         detect_fn = None
         if args.oracle:
-            from tests.test_multicam import mc_oracle_detections  # type: ignore
+            from playground3d_tpu.data.synthetic import mc_oracle_detections
 
             def detect_fn(frames, frame_num):
                 return mc_oracle_detections(

@@ -117,6 +117,61 @@ def oracle_detections(
     )
 
 
+def mc_oracle_detections(
+    scene: "SyntheticScene",
+    t_per_cam,
+    registry,
+    cameras,
+    ranges,
+    K: int,
+    rng: Optional[np.random.Generator] = None,
+    noise_px: float = 0.5,
+):
+    """Oracle detections across overlapping cameras: camera ci sees the
+    objects inside its x-range, observed at its own timestamp. Returns a
+    fixed-capacity masked ``Detections`` (cam_idx set per camera)."""
+    import jax.numpy as jnp
+
+    rng = rng or np.random.default_rng(0)
+    boxes = np.zeros((K, 20), np.float32)
+    scores = np.zeros((K,), np.float32)
+    classes = np.zeros((K,), np.int32)
+    cam_idx = np.zeros((K,), np.int32)
+    mask = np.zeros((K,), bool)
+    k = 0
+    for ci, cam in enumerate(cameras):
+        c = registry.index(cam)
+        P = registry.P[c, 0]
+        states, idx = scene.states_at(t_per_cam[ci])
+        if len(states) == 0:
+            continue
+        lo, hi = ranges[cam]
+        vis = (states[:, 0] >= lo) & (states[:, 0] <= hi)
+        states, idx = states[vis], idx[vis]
+        if len(states) == 0:
+            continue
+        space = G.state_to_space(states)
+        im = G.space_to_im(space, P) + rng.normal(0, noise_px, (len(states), 8, 2))
+        for i in range(len(states)):
+            if k >= K:
+                break
+            boxes[k, :16] = im[i].reshape(16)
+            boxes[k, 16:18] = im[i].min(0)
+            boxes[k, 18:20] = im[i].max(0)
+            scores[k] = rng.uniform(0.8, 0.99)
+            classes[k] = scene.classes[idx[i]]
+            cam_idx[k] = ci
+            mask[k] = True
+            k += 1
+    return Detections(
+        scores=jnp.asarray(scores),
+        classes=jnp.asarray(classes),
+        boxes=jnp.asarray(boxes),
+        cam_idx=jnp.asarray(cam_idx),
+        mask=jnp.asarray(mask),
+    )
+
+
 def render_frame(
     scene: SyntheticScene,
     t: float,

@@ -179,7 +179,13 @@ class VideoFrameSource(FrameSource):
     """Real video decode: cv2 / PyAV / ffmpeg-pipe backends, with pixel
     timestamp parsing (mp_loader.py:206-247). Raises if no backend exists."""
 
-    def __init__(self, path: str, resize_hw: Tuple[int, int] = (1080, 1920), parse_ts=True):
+    def __init__(
+        self,
+        path: str,
+        resize_hw: Tuple[int, int] = (1080, 1920),
+        parse_ts=True,
+        ts_geometries: Optional[list] = None,
+    ):
         if DECODER is None:
             raise RuntimeError(
                 "no video decode backend available (cv2/PyAV/ffmpeg absent); "
@@ -188,8 +194,10 @@ class VideoFrameSource(FrameSource):
         self.path = path
         self.resize_hw = resize_hw
         self.parse_ts = parse_ts
-        self._geom = TimestampGeometry()
-        self._checks = precomputed_checksums(self._geom)
+        # multiple candidate timestamp geometries, tried in order — the
+        # reference falls back between two digit heights (datareader.py:59-66)
+        self._geoms = ts_geometries or [TimestampGeometry()]
+        self._checks = [precomputed_checksums(g) for g in self._geoms]
         self._last_ts: Optional[float] = None
         self._open()
 
@@ -244,7 +252,10 @@ class VideoFrameSource(FrameSource):
             raise StopIteration
         t = None
         if self.parse_ts:
-            t, _ = parse_frame_timestamp(frame, self._geom, self._checks)
+            for g, checks in zip(self._geoms, self._checks):
+                t, _ = parse_frame_timestamp(frame, g, checks)
+                if t is not None:
+                    break
         if t is None:
             # fallback: previous + nominal period (MC3D:213-215)
             t = (self._last_ts + 1 / 30.0) if self._last_ts is not None else 0.0

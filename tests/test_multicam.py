@@ -6,55 +6,13 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from playground3d_tpu.data.synthetic import SyntheticScene
+from playground3d_tpu.data.synthetic import SyntheticScene, mc_oracle_detections
 from playground3d_tpu.evaluation import geometry_np as G
 from playground3d_tpu.models.retinanet import Detections
 from playground3d_tpu.pipeline.multi_cam import MultiCameraTracker
 from playground3d_tpu.utils.config import TrackerConfig
 
 FPS = 30.0
-
-
-def mc_oracle_detections(scene, t_per_cam, registry, cameras, ranges, K, rng, noise_px=0.5):
-    """Oracle detections across cameras: each camera sees objects inside its
-    x-range, observed at that camera's own timestamp."""
-    boxes = np.zeros((K, 20), np.float32)
-    scores = np.zeros((K,), np.float32)
-    classes = np.zeros((K,), np.int32)
-    cam_idx = np.zeros((K,), np.int32)
-    mask = np.zeros((K,), bool)
-    k = 0
-    for ci, cam in enumerate(cameras):
-        c = registry.index(cam)
-        P = registry.P[c, 0]
-        states, idx = scene.states_at(t_per_cam[ci])
-        if len(states) == 0:
-            continue
-        lo, hi = ranges[cam]
-        vis = (states[:, 0] >= lo) & (states[:, 0] <= hi)
-        states, idx = states[vis], idx[vis]
-        if len(states) == 0:
-            continue
-        space = G.state_to_space(states)
-        im = G.space_to_im(space, P) + rng.normal(0, noise_px, (len(states), 8, 2))
-        for i in range(len(states)):
-            if k >= K:
-                break
-            boxes[k, :16] = im[i].reshape(16)
-            boxes[k, 16:18] = im[i].min(0)
-            boxes[k, 18:20] = im[i].max(0)
-            scores[k] = rng.uniform(0.8, 0.99)
-            classes[k] = scene.classes[idx[i]]
-            cam_idx[k] = ci
-            mask[k] = True
-            k += 1
-    return Detections(
-        scores=jnp.asarray(scores),
-        classes=jnp.asarray(classes),
-        boxes=jnp.asarray(boxes),
-        cam_idx=jnp.asarray(cam_idx),
-        mask=jnp.asarray(mask),
-    )
 
 
 @pytest.fixture(scope="module")
