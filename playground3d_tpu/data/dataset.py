@@ -303,6 +303,31 @@ class SyntheticDetectionDataset:
             frames, labels = zip(*(self.sample() for _ in range(batch_size)))
             yield np.stack(frames), np.stack(labels)
 
+    def batch_factory(self, batch_size: int, seed: int = 0):
+        """Thread-safe zero-arg batch producer for a multi-worker Prefetcher:
+        each worker thread gets its own lightweight clone (shared fitted
+        camera, independent rng stream)."""
+        import threading as _threading
+
+        lock = _threading.Lock()
+        counter = [0]
+        local = _threading.local()
+
+        def make():
+            ds = getattr(local, "ds", None)
+            if ds is None:
+                with lock:
+                    k = counter[0]
+                    counter[0] += 1
+                ds = object.__new__(SyntheticDetectionDataset)
+                ds.__dict__.update(self.__dict__)
+                ds.rng = np.random.default_rng(seed * 100003 + k)
+                local.ds = ds
+            frames, labels = zip(*(ds.sample() for _ in range(batch_size)))
+            return np.stack(frames), np.stack(labels)
+
+        return make
+
 
 class CachedDetectionDataset:
     """Frames + labels from .npz shards: each shard holds ``frames``
@@ -333,26 +358,63 @@ class CachedDetectionDataset:
 class Prefetcher:
     """Background-thread batch prefetcher with bounded depth (the TPU-host
     replacement for the reference's queue-of-5 worker processes,
-    util_track/mp_loader.py:218)."""
+    util_track/mp_loader.py:218).
 
-    def __init__(self, iterator: Iterator, depth: int = 3, device_put: bool = True):
-        self.it = iterator
+    ``workers > 1`` runs several producer threads over a thread-safe
+    ``factory`` (a zero-arg callable returning one batch) — used when batch
+    production is CPU-bound (e.g. synthetic rendering) and numpy releases
+    the GIL. With an ``iterator`` the single-producer path preserves order.
+    """
+
+    def __init__(
+        self,
+        iterator: Optional[Iterator] = None,
+        depth: int = 3,
+        device_put: bool = True,
+        factory=None,
+        workers: int = 1,
+    ):
+        assert (iterator is None) != (factory is None)
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self.device_put = device_put
         self._done = object()
-        self.thread = threading.Thread(target=self._work, daemon=True)
-        self.thread.start()
+        self._stop = False
+        if factory is not None and workers > 1:
+            self.threads = [
+                threading.Thread(target=self._work_factory, args=(factory,), daemon=True)
+                for _ in range(workers)
+            ]
+        elif factory is not None:
+            self.threads = [
+                threading.Thread(target=self._work_factory, args=(factory,), daemon=True)
+            ]
+        else:
+            self.threads = [
+                threading.Thread(target=self._work_iter, args=(iterator,), daemon=True)
+            ]
+        for t in self.threads:
+            t.start()
 
-    def _work(self):
-        import jax
+    def _stage(self, item):
+        if self.device_put:
+            import jax
 
+            item = jax.tree_util.tree_map(jax.device_put, item)
+        return item
+
+    def _work_iter(self, it):
         try:
-            for item in self.it:
-                if self.device_put:
-                    item = jax.tree_util.tree_map(jax.device_put, item)
-                self.q.put(item)
+            for item in it:
+                self.q.put(self._stage(item))
         finally:
             self.q.put(self._done)
+
+    def _work_factory(self, factory):
+        while not self._stop:
+            self.q.put(self._stage(factory()))
+
+    def close(self):
+        self._stop = True
 
     def __iter__(self):
         return self

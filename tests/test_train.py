@@ -163,3 +163,15 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     w0 = jax.tree_util.tree_leaves(tr.state.params)[0]
     w1 = jax.tree_util.tree_leaves(restored.params)[0]
     np.testing.assert_allclose(np.asarray(w0), np.asarray(w1))
+
+
+def test_multiworker_prefetcher():
+    from playground3d_tpu.data.dataset import Prefetcher, SyntheticDetectionDataset
+
+    ds = SyntheticDetectionDataset(image_shape=(64, 96), n_objects=2, seed=0, augment=False)
+    pf = Prefetcher(factory=ds.batch_factory(2), workers=3, depth=4, device_put=False)
+    got = [next(pf) for _ in range(6)]
+    pf.close()
+    assert all(f.shape == (2, 64, 96, 3) for f, l in got)
+    # different workers produce different batches
+    assert not np.allclose(got[0][0], got[1][0])
