@@ -1,0 +1,227 @@
+"""Multi-camera end-to-end demo: train the full-frame detector AND the crop
+detector on synthetic traffic, then run the multi-camera crop tracker
+(detection every d frames, crop re-detection between) across three
+overlapping cameras — every network real, no oracle.
+
+The three cameras share the training camera's intrinsics/pose, shifted along
+the roadway (translation-invariant geometry), so one trained detector serves
+all views — mirroring the I-24 deployment where one detector serves 18
+near-identical pole cameras.
+
+Usage:
+    python -m playground3d_tpu.apps.demo_e2e_mc --steps 600 --crop-steps 400 \
+        --frames 60 --det-step 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def shifted_registry(ds, shifts):
+    """Registry of cameras = the dataset camera translated along x."""
+    from playground3d_tpu.geometry.homography import CameraRegistry
+
+    reg = CameraRegistry()
+    projectors = {}
+    rng = np.random.default_rng(123)
+    h, w = ds.image_shape
+    for i, dx in enumerate(shifts):
+        name = f"p1c{i + 1}"
+
+        def project(p3, dx=dx):
+            p = np.array(p3, dtype=np.float64)
+            p[:, 0] = p[:, 0] - dx
+            return ds._project(p)
+
+        sp = np.stack([rng.uniform(450 + dx, 680 + dx, 24), rng.uniform(0, 120, 24)], 1)
+        corr = project(np.concatenate([sp, np.zeros((24, 1))], 1))
+        vp_z = project(np.array([[550.0 + dx, 60.0, -1e7]]))[0]
+        reg.add_camera(name, corr, sp, np.array([[1e6, h / 2], [w / 2, 1e6], vp_z]))
+
+        # calibrate P's z-column against true-projected 3D boxes — an
+        # uncalibrated z scale renders/reprojects garbage vertical geometry
+        from playground3d_tpu.evaluation import geometry_np as G
+        from playground3d_tpu.geometry.homography import scale_P_z
+
+        states = np.stack(
+            [
+                rng.uniform(460 + dx, 660 + dx, 10),
+                rng.uniform(10, 110, 10),
+                rng.uniform(14, 20, 10),
+                rng.uniform(5.5, 7, 10),
+                rng.uniform(4, 6, 10),
+                np.ones(10),
+            ],
+            axis=1,
+        )
+        space = G.state_to_space(states)
+        boxes_im = project(space.reshape(-1, 3)).reshape(-1, 8, 2).astype(np.float32)
+        ci = reg.index(name)
+        P = scale_P_z(reg.P[ci, 0], boxes_im, states[:, 4].astype(np.float32), reg.H[ci, 0])
+        reg.set_P(name, P)
+        projectors[name] = project
+    return reg, projectors
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--crop-steps", type=int, default=400)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--depth", type=int, default=18)
+    ap.add_argument("--det-step", type=int, default=3)
+    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--width", type=int, default=768)
+    ap.add_argument("--zoom", type=float, default=1.5)
+    ap.add_argument("--workers", type=int, default=4)
+    ap.add_argument("--det-ckpt", default=None, help="skip detector training")
+    ap.add_argument("--crop-ckpt", default=None, help="skip crop training")
+    ap.add_argument("--out-prefix", default="/tmp/demo_mc")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from playground3d_tpu.data.dataset import Prefetcher, SyntheticDetectionDataset
+    from playground3d_tpu.models.nn import load_params, save_params
+    from playground3d_tpu.models import retinanet_init
+    from playground3d_tpu.train.trainer import TrainConfig, Trainer
+
+    t0 = time.time()
+
+    def log(msg):
+        print(f"[{time.time() - t0:7.1f}s] {msg}", flush=True)
+
+    shape = (args.height, args.width)
+    ds = SyntheticDetectionDataset(
+        image_shape=shape, n_objects=6, seed=0, augment=True, zoom=args.zoom
+    )
+
+    def train(cfg, dataset, steps, tag):
+        trainer = Trainer(cfg, key=jax.random.PRNGKey(0))
+        pf = Prefetcher(
+            factory=dataset.batch_factory(args.batch), workers=args.workers, depth=4
+        )
+        for step in range(steps):
+            frames, labels = next(pf)
+            m = trainer.train_step(frames, labels)
+            if step % 100 == 0:
+                log(f"{tag} step {step}: loss={float(m['loss']):.4f}")
+        pf.close()
+        log(f"{tag} done: loss={float(m['loss']):.4f}")
+        return jax.device_get(trainer.state.params)
+
+    # 1. full-frame detector (s2d stem)
+    if args.det_ckpt:
+        det_params = load_params(
+            args.det_ckpt, retinanet_init(jax.random.PRNGKey(0), depth=args.depth, stem="s2d")
+        )
+        log("loaded detector checkpoint")
+    else:
+        det_params = train(
+            TrainConfig(depth=args.depth, stem="s2d", image_shape=shape, lr=3e-4),
+            ds, args.steps, "detector",
+        )
+        save_params(args.out_prefix + "_det.npz", det_params)
+
+    # 2. crop detector (conv7 stem at 112^2 crops)
+    if args.crop_ckpt:
+        crop_params = load_params(
+            args.crop_ckpt, retinanet_init(jax.random.PRNGKey(1), depth=args.depth)
+        )
+        log("loaded crop checkpoint")
+    else:
+        crop_ds = SyntheticDetectionDataset(
+            image_shape=shape, n_objects=6, seed=1, augment=True, zoom=args.zoom,
+            crop_mode=True, crop_size=112,
+        )
+        crop_params = train(
+            TrainConfig(depth=args.depth, stem="conv7", image_shape=(112, 112), lr=3e-4),
+            crop_ds, args.crop_steps, "crop-detector",
+        )
+        save_params(args.out_prefix + "_crop.npz", crop_params)
+
+    # 3. multi-camera tracking with both trained networks
+    from playground3d_tpu.data.synthetic import SyntheticScene, render_frame
+    from playground3d_tpu.evaluation import geometry_np as G
+    from playground3d_tpu.evaluation.csv_io import TrackRecord, write_results_csv
+    from playground3d_tpu.evaluation.mot import MOTEvaluator
+    from playground3d_tpu.pipeline.multi_cam import MultiCameraTracker
+    from playground3d_tpu.utils.config import TrackerConfig
+    from playground3d_tpu.utils.constants import CLASS_NAMES
+
+    shifts = [0.0, 160.0, 320.0]
+    reg, projectors = shifted_registry(ds, shifts)
+    cameras = list(projectors.keys())
+    centers = np.array([[565.0 + dx, 60.0] for dx in shifts], np.float32)
+    lo, hi = 445.0, 680.0 + shifts[-1]
+    scene = SyntheticScene(
+        n_objects=10, seed=99, x_spawn=(lo + 20, hi - 20), x_visible=(lo, hi)
+    )
+
+    tcfg = TrackerConfig(
+        max_tracks=32, max_dets=48, pre_topk=1024, x_range=(lo - 30, hi + 30),
+        f_init=2, sigma_d=0.25, sigma_c=0.2, det_step=args.det_step, cd_max=16,
+        estimate_ts_bias=False,
+    )
+    tracker = MultiCameraTracker(
+        reg, cameras, cfg=tcfg, det_params=det_params, crop_params=crop_params,
+        depth=args.depth, centers=centers, stem="s2d",
+    )
+
+    rng = np.random.default_rng(5)
+    for f in range(args.frames):
+        t = f / 30.0
+        frames = []
+        for ci, cam in enumerate(cameras):
+            # render each camera's view: shift the visible band into its view
+            frame, _ = render_frame(
+                scene, t, reg.P[ci, 0], height=args.height, width=args.width, rng=rng
+            )
+            frames.append(frame)
+        tracker.process(np.stack(frames), [1.6e9 + t] * 3, f)
+        if f % 15 == 0:
+            n = len(tracker.rows[-1][2]) if tracker.rows else 0
+            log(f"frame {f}: {n} live tracks")
+    log("tracking done")
+    pred_path = args.out_prefix + "_pred.csv"
+    tracker.write_results_csv(pred_path)
+
+    gt = []
+    for f in range(args.frames):
+        t = f / 30.0
+        states, idx = scene.states_at(t)
+        if len(states) == 0:
+            continue
+        space = G.state_to_space(states)
+        im = G.space_to_im(space, reg.P[0, 0])
+        for i in range(len(states)):
+            gt.append(
+                TrackRecord(
+                    frame=f, timestamp=1.6e9 + t, obj_id=int(idx[i]),
+                    class_name=CLASS_NAMES[int(scene.classes[idx[i]])],
+                    state7=states[i], im_corners=im[i],
+                    space_footprint=space[i, 0:4, :2], camera=cameras[0],
+                )
+            )
+    gt_path = args.out_prefix + "_gt.csv"
+    write_results_csv(gt_path, gt)
+
+    ev = MOTEvaluator(
+        gt_path, pred_path, reg.H[0, 0], reg.P[0, 0], match_iou=0.2,
+        cutoff_frame=args.frames,
+    )
+    metrics = ev.evaluate()
+    log(f"MC e2e metrics (trained det + crop nets, d={args.det_step}):")
+    for k in ["TP", "FP", "FN", "Recall", "Precision", "MOTA", "ID switches"]:
+        v = metrics[k]
+        print(f"  {k:<12}: {v:.3f}" if isinstance(v, float) else f"  {k:<12}: {v}", flush=True)
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

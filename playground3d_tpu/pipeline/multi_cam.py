@@ -303,6 +303,7 @@ class MultiCameraTracker:
         crop_fn: Optional[Callable] = None,
         centers: Optional[np.ndarray] = None,
         stem: str = "conv7",
+        crop_stem: str = "conv7",
     ):
         self.registry = registry
         self.cameras = list(cameras)
@@ -331,7 +332,8 @@ class MultiCameraTracker:
             self._parsed_step = make_mc_detect_step_from_detections(self.bank, self.kfp, cfg)
         if crop_fn is None and crop_params is not None:
             self._crop_step = make_crop_step(
-                crop_params, depth, self.bank, self.centers, self.kfp, cfg, stem=stem
+                crop_params, depth, self.bank, self.centers, self.kfp, cfg,
+                stem=crop_stem,
             )
         else:
             self._crop_step = None
