@@ -254,8 +254,17 @@ class SyntheticDetectionDataset:
         frame, labels = render_frame(
             scene, t, self._P, height=h, width=w, rng=self.rng
         )
-        if self.crop_mode and len(labels) > 0:
-            frame, labels = self._crop_around_object(frame, labels)
+        if self.crop_mode:
+            if len(labels) > 0:
+                frame, labels = self._crop_around_object(frame, labels)
+            else:
+                # negative crop: random window, no labels (keeps batch shapes)
+                h, w = frame.shape[:2]
+                cs = self.crop_size
+                y0 = int(self.rng.integers(0, max(h - cs, 1)))
+                x0 = int(self.rng.integers(0, max(w - cs, 1)))
+                frame = frame[y0 : y0 + cs, x0 : x0 + cs]
+                labels = np.zeros((0, 21), np.float32)
         if self.augment:
             frame = photometric_jitter(frame, self.rng)
             if self.rng.uniform() < 0.5:
