@@ -51,7 +51,7 @@ def main(argv=None):
     trainer = Trainer(cfg, key=jax.random.PRNGKey(0))
     log(f"training resnet{args.depth}/{args.stem} at {shape} for {args.steps} steps")
 
-    batches = Prefetcher(ds.batches(args.batch), depth=3)
+    batches = Prefetcher(factory=ds.batch_factory(args.batch), workers=4, depth=4)
     losses = []
     for step, (frames, labels) in zip(range(args.steps), batches):
         m = trainer.train_step(frames, labels)
@@ -61,6 +61,9 @@ def main(argv=None):
                 f"step {step}: loss={losses[-1]:.4f} "
                 f"cls={float(m['cls']):.4f} reg={float(m['reg']):.4f} vp={float(m['vp']):.4f}"
             )
+        if step % 500 == 499:
+            trainer.save(args.out_prefix + "_detector.npz")
+    batches.close()
     log(f"training done; loss {losses[0]:.3f} -> {np.mean(losses[-20:]):.3f}")
     trainer.save(args.out_prefix + "_detector.npz")
     params = jax.device_get(trainer.state.params)

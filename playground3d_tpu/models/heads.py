@@ -14,19 +14,39 @@ N_REG_OUTPUTS = 12  # directional 3D regression (reference model.py:233)
 PRIOR = 0.01  # focal-loss prior for classification bias (model.py:252)
 
 
-def _tower_init(key, feature_size: int):
-    ks = jax.random.split(key, 4)
+def _tower_init(key, feature_size: int, depth: int = 4):
+    ks = jax.random.split(key, depth)
     return [conv_init(k, feature_size, feature_size, 3, bias=True) for k in ks]
 
 
-def head_init(key, num_classes: int, num_anchors: int = 9, feature_size: int = 256) -> Params:
+def head_init(
+    key,
+    num_classes: int,
+    num_anchors: int = 9,
+    feature_size: int = 256,
+    tower_depth: int = 4,
+    shared_tower: bool = False,
+) -> Params:
+    """Default (tower_depth=4, shared_tower=False) is reference parity
+    (model.py:120-205: two 4-conv towers). ``shared_tower=True`` runs one
+    tower feeding both output convs — half the head FLOPs; ``tower_depth``
+    trades capacity for speed (measure with the e2e quality harness)."""
     kc, kr, kco, kro = jax.random.split(key, 4)
-    p = {
-        "cls_tower": _tower_init(kc, feature_size),
-        "reg_tower": _tower_init(kr, feature_size),
-        "cls_out": conv_init(kco, feature_size, num_anchors * num_classes, 3, bias=True),
-        "reg_out": conv_init(kro, feature_size, num_anchors * N_REG_OUTPUTS, 3, bias=True),
-    }
+    if shared_tower:
+        tower = _tower_init(kc, feature_size, tower_depth)
+        p = {
+            "cls_tower": tower,
+            "reg_tower": None,
+            "cls_out": conv_init(kco, feature_size, num_anchors * num_classes, 3, bias=True),
+            "reg_out": conv_init(kro, feature_size, num_anchors * N_REG_OUTPUTS, 3, bias=True),
+        }
+    else:
+        p = {
+            "cls_tower": _tower_init(kc, feature_size, tower_depth),
+            "reg_tower": _tower_init(kr, feature_size, tower_depth),
+            "cls_out": conv_init(kco, feature_size, num_anchors * num_classes, 3, bias=True),
+            "reg_out": conv_init(kro, feature_size, num_anchors * N_REG_OUTPUTS, 3, bias=True),
+        }
     # focal prior init: zero weights, bias = -log((1-p)/p)  (model.py:254-258)
     p["cls_out"]["w"] = jnp.zeros_like(p["cls_out"]["w"])
     p["cls_out"]["b"] = jnp.full_like(
@@ -57,10 +77,13 @@ def head_apply(
     in :mod:`playground3d_tpu.models.anchors`.
     """
     cls_all, reg_all = [], []
+    shared = p.get("reg_tower") is None
     for f in features:
         n, h, w, _ = f.shape
-        c = conv_apply(p["cls_out"], _tower_apply(p["cls_tower"], f, dtype), dtype=dtype)
-        r = conv_apply(p["reg_out"], _tower_apply(p["reg_tower"], f, dtype), dtype=dtype)
+        ct = _tower_apply(p["cls_tower"], f, dtype)
+        rt = ct if shared else _tower_apply(p["reg_tower"], f, dtype)
+        c = conv_apply(p["cls_out"], ct, dtype=dtype)
+        r = conv_apply(p["reg_out"], rt, dtype=dtype)
         cls_all.append(c.reshape(n, h * w * num_anchors, num_classes))
         reg_all.append(r.reshape(n, h * w * num_anchors, N_REG_OUTPUTS))
     cls = jnp.concatenate(cls_all, axis=1)

@@ -135,6 +135,8 @@ def save_params(path: str, params: Params) -> None:
     flat = {}
 
     def rec(prefix, node):
+        if node is None:
+            return
         if isinstance(node, dict):
             for k, v in node.items():
                 rec(f"{prefix}/{k}" if prefix else k, v)
@@ -153,6 +155,8 @@ def load_params(path: str, like: Params) -> Params:
     z = np.load(path, allow_pickle=False)
 
     def rec(prefix, node):
+        if node is None:
+            return None
         if isinstance(node, dict):
             return {k: rec(f"{prefix}/{k}" if prefix else k, v) for k, v in node.items()}
         if isinstance(node, (list, tuple)):

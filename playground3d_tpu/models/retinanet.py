@@ -51,14 +51,21 @@ class Detections(NamedTuple):
 
 
 def retinanet_init(
-    key, num_classes: int = DEFAULT_NUM_CLASSES, depth: int = 50, stem: str = "conv7"
+    key,
+    num_classes: int = DEFAULT_NUM_CLASSES,
+    depth: int = 50,
+    stem: str = "conv7",
+    tower_depth: int = 4,
+    shared_tower: bool = False,
 ) -> Params:
     kb, kf, kh = jax.random.split(key, 3)
     c3, c4, c5 = fpn_sizes(depth)
     return {
         "backbone": resnet_init(kb, depth, stem=stem),
         "fpn": fpn_init(kf, c3, c4, c5),
-        "heads": head_init(kh, num_classes),
+        "heads": head_init(
+            kh, num_classes, tower_depth=tower_depth, shared_tower=shared_tower
+        ),
     }
 
 
