@@ -44,8 +44,8 @@ def main() -> None:
     DEPTH = 50
     STEM = "s2d"  # host-packed space-to-depth input: the [H,W,3] layout
     # pads 3->128 lanes on TPU; packing on the host makes the stem MXU-shaped
-    N_WARM = 3
-    N_ITERS = 30
+    N_WARM = 2
+    N_ITERS = 15
 
     # synthetic camera registry (geometry constants only; costs nothing)
     rng = np.random.default_rng(7)
@@ -68,11 +68,11 @@ def main() -> None:
 
     from playground3d_tpu.pipeline.camera_bank import bank_from_registry
 
-    cfg = TrackerConfig(max_tracks=64, max_dets=64, pre_topk=2048, x_range=(300.0, 800.0))
+    cfg = TrackerConfig(max_tracks=64, max_dets=48, pre_topk=1024, x_range=(300.0, 800.0))
     kfp = default_params()
     bank = bank_from_registry(reg)
     params = retinanet_init(jax.random.PRNGKey(0), num_classes=8, depth=DEPTH, stem=STEM)
-    T_CLIP = 10  # frames advanced per device call (lax.scan clip API)
+    T_CLIP = 20  # frames advanced per device call (lax.scan clip API)
     clip = make_clip_step(params, DEPTH, bank, kfp, cfg, stem=STEM)
 
     state = init_track_state(cfg.max_tracks)
