@@ -166,7 +166,7 @@ def main(argv=None):
     tcfg = TrackerConfig(
         max_tracks=32, max_dets=48, pre_topk=1024, x_range=(lo - 30, hi + 30),
         f_init=2, sigma_d=0.25, sigma_c=0.2, det_step=args.det_step, cd_max=16,
-        estimate_ts_bias=False,
+        estimate_ts_bias=False, merge_dist_ft=12.0,
     )
     tracker = MultiCameraTracker(
         reg, cameras, cfg=tcfg, det_params=det_params, crop_params=crop_params,

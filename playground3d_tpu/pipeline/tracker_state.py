@@ -328,6 +328,27 @@ def lifecycle(
     kept = jnp.zeros_like(alive).at[keep_idx].max(keep_mask)
     die = die | (alive & ~kept)
 
+    if cfg.merge_dist_ft > 0:
+        # duplicate merge (extension): same-direction tracks whose centers
+        # sit within merge_dist_ft are one vehicle seen by two cameras —
+        # keep the older (higher age; index as tie-break)
+        alive = live & ~die
+        dx = jnp.abs(x[:, None, 0] - x[None, :, 0])
+        dy = jnp.abs(x[:, None, 1] - x[None, :, 1])
+        same_dir = state.kf.d[:, None] == state.kf.d[None, :]
+        close = (dx < cfg.merge_dist_ft) & (dy < cfg.merge_dist_ft / 2.0) & same_dir
+        n = x.shape[0]
+        eye = jnp.eye(n, dtype=bool)
+        age = state.age
+        older = (age[:, None] > age[None, :]) | (
+            (age[:, None] == age[None, :])
+            & (jnp.arange(n)[:, None] < jnp.arange(n)[None, :])
+        )
+        beaten = jnp.any(
+            close & ~eye & older & alive[:, None] & alive[None, :], axis=0
+        )
+        die = die | (alive & beaten)
+
     new_mask = live & ~die
     return state._replace(
         kf=state.kf._replace(mask=new_mask),

@@ -44,6 +44,11 @@ class TrackerConfig:
     iou_cutoff: float = 0.1  # single-cam overlap pruning
     ts_alpha: float = 0.05  # clock-bias EMA rate
     estimate_ts_bias: bool = True
+    # extension beyond the reference: kill the younger of two same-direction
+    # tracks whose centers are within this roadway distance (ft); catches
+    # cross-camera duplicates whose footprints fall below phi_over IoU.
+    # 0 disables (reference behavior).
+    merge_dist_ft: float = 0.0
 
     # capacities (fixed shapes on device)
     max_tracks: int = 128

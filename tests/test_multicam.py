@@ -173,3 +173,36 @@ def test_crop_step_machinery(toy_cameras3, mc_scene):
     snap = tracker2.process(frames, [1.6e9 + 1 / FPS] * 3, 1)  # crop branch
     assert snap is not None
     assert np.asarray(snap.states7).shape[1] == 7
+
+
+def test_merge_dist_kills_duplicates(toy_cameras3, mc_scene):
+    """merge_dist_ft kills the younger of two near-coincident same-direction
+    tracks (cross-camera duplicates below the IoU pruning threshold)."""
+    import jax.numpy as jnp
+    from playground3d_tpu.pipeline.tracker_state import (
+        init_track_state, lifecycle,
+    )
+    from playground3d_tpu.track.kf import default_params, kf_add
+
+    kfp = default_params()
+    cfg = TrackerConfig(max_tracks=8, x_range=(0.0, 2000.0), merge_dist_ft=12.0)
+    st = init_track_state(8)
+    # two tracks 8 ft apart (footprint IoU ~0 for 16ft-long cars offset 8ft
+    # laterally? use laterally-close but longitudinally offset so IoU small)
+    new_x = np.zeros((8, 6), np.float32)
+    # 11 ft apart along x, 4 ft in y: footprint IoU ~0.05 (below phi_over
+    # 0.1) but within merge_dist 12 ft
+    new_x[0] = [500.0, 30.0, 16, 6, 4, 30.0]
+    new_x[1] = [511.0, 34.0, 16, 6, 4, 30.0]
+    add = np.zeros(8, bool); add[:2] = True
+    st = st._replace(kf=kf_add(st.kf, jnp.asarray(new_x), jnp.ones(8), jnp.asarray(add), kfp))
+    st = st._replace(age=jnp.asarray([5, 1, 0, 0, 0, 0, 0, 0]), ids=jnp.asarray([10, 11, -1, -1, -1, -1, -1, -1]))
+    out = lifecycle(st, jnp.asarray(0.0), kfp, cfg)
+    mask = np.asarray(out.kf.mask)
+    assert mask[0] and not mask[1]  # older survives
+
+    # without merge_dist both survive (footprints overlap < phi_over)
+    cfg0 = TrackerConfig(max_tracks=8, x_range=(0.0, 2000.0), merge_dist_ft=0.0)
+    out0 = lifecycle(st, jnp.asarray(0.0), kfp, cfg0)
+    mask0 = np.asarray(out0.kf.mask)
+    assert mask0[0] and mask0[1]
