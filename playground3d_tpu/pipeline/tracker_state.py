@@ -330,24 +330,26 @@ def lifecycle(
 
     if cfg.merge_dist_ft > 0:
         # duplicate merge (extension): same-direction tracks whose centers
-        # sit within merge_dist_ft are one vehicle seen by two cameras —
-        # keep the older (higher age; index as tie-break)
+        # sit within merge_dist_ft along x (half that in y) are one vehicle
+        # seen by two cameras — greedily keep the older. Expressed as
+        # age-scored NMS over synthetic center boxes (overlap iff within the
+        # merge radius; direction as the group): reusing the chain-safe
+        # fixed-point NMS avoids one-shot suppression killing a track whose
+        # only beater itself dies in the same pass (A-B-C chains).
         alive = live & ~die
-        dx = jnp.abs(x[:, None, 0] - x[None, :, 0])
-        dy = jnp.abs(x[:, None, 1] - x[None, :, 1])
-        same_dir = state.kf.d[:, None] == state.kf.d[None, :]
-        close = (dx < cfg.merge_dist_ft) & (dy < cfg.merge_dist_ft / 2.0) & same_dir
-        n = x.shape[0]
-        eye = jnp.eye(n, dtype=bool)
-        age = state.age
-        older = (age[:, None] > age[None, :]) | (
-            (age[:, None] == age[None, :])
-            & (jnp.arange(n)[:, None] < jnp.arange(n)[None, :])
+        half_x = cfg.merge_dist_ft / 2.0
+        half_y = cfg.merge_dist_ft / 4.0
+        merge_boxes = jnp.stack(
+            [x[:, 0] - half_x, x[:, 1] - half_y, x[:, 0] + half_x, x[:, 1] + half_y],
+            axis=1,
         )
-        beaten = jnp.any(
-            close & ~eye & older & alive[:, None] & alive[None, :], axis=0
+        groups = (state.kf.d > 0).astype(jnp.int32)
+        m_idx, m_mask = batched_nms(
+            merge_boxes, state.age.astype(jnp.float32), groups, alive,
+            iou_threshold=1e-6, max_keep=merge_boxes.shape[0],
         )
-        die = die | (alive & beaten)
+        m_kept = jnp.zeros_like(alive).at[m_idx].max(m_mask)
+        die = die | (alive & ~m_kept)
 
     new_mask = live & ~die
     return state._replace(

@@ -206,3 +206,30 @@ def test_merge_dist_kills_duplicates(toy_cameras3, mc_scene):
     out0 = lifecycle(st, jnp.asarray(0.0), kfp, cfg0)
     mask0 = np.asarray(out0.kf.mask)
     assert mask0[0] and mask0[1]
+
+
+def test_merge_chain_safe():
+    """A-B-C chain: B within radius of both A and C, but A-C far apart.
+    Greedy semantics keep A (oldest) and C; only B dies."""
+    import jax.numpy as jnp
+    from playground3d_tpu.pipeline.tracker_state import init_track_state, lifecycle
+    from playground3d_tpu.track.kf import default_params, kf_add
+
+    kfp = default_params()
+    cfg = TrackerConfig(max_tracks=8, x_range=(0.0, 2000.0), merge_dist_ft=12.0,
+                        phi_over=0.0)
+    st = init_track_state(8)
+    new_x = np.zeros((8, 6), np.float32)
+    new_x[0] = [500.0, 30.0, 4, 2, 4, 30.0]   # tiny footprints: overlap-NMS off
+    new_x[1] = [511.0, 30.0, 4, 2, 4, 30.0]
+    new_x[2] = [522.0, 30.0, 4, 2, 4, 30.0]
+    add = np.zeros(8, bool); add[:3] = True
+    st = st._replace(kf=kf_add(st.kf, jnp.asarray(new_x), jnp.ones(8), jnp.asarray(add), kfp))
+    st = st._replace(age=jnp.asarray([5, 3, 1, 0, 0, 0, 0, 0]),
+                     ids=jnp.asarray([10, 11, 12, -1, -1, -1, -1, -1]))
+    # phi_over=0 disables overlap pruning entirely? cfg.phi_over>0 guard:
+    # use small boxes so footprint IoU = 0 anyway
+    cfg = TrackerConfig(max_tracks=8, x_range=(0.0, 2000.0), merge_dist_ft=12.0)
+    out = lifecycle(st, jnp.asarray(0.0), kfp, cfg)
+    mask = np.asarray(out.kf.mask)
+    assert mask[0] and not mask[1] and mask[2], mask[:3]
