@@ -281,7 +281,15 @@ class PrefetchingSource(FrameSource):
             self.q.put(self._done)
 
     def __next__(self):
-        item = self.q.get(timeout=60)
+        try:
+            item = self.q.get(timeout=120)
+        except queue.Empty:
+            # a wedged source ends the stream instead of leaking
+            # queue.Empty into the frame loop
+            import sys
+
+            print("PrefetchingSource: producer stalled >120s; ending stream", file=sys.stderr)
+            raise StopIteration
         if item is self._done:
             raise StopIteration
         return item
@@ -359,7 +367,10 @@ def read_png(path: str) -> np.ndarray:
 
 class AsyncFrameWriter:
     """Queue-fed background PNG writer (reference OutputWriter,
-    util_track/mp_writer.py:21-49)."""
+    util_track/mp_writer.py:21-49). ``close()`` flushes and joins the
+    worker, guaranteeing every submitted frame is fully written."""
+
+    _DONE = object()
 
     def __init__(self, directory: str):
         os.makedirs(directory, exist_ok=True)
@@ -375,16 +386,12 @@ class AsyncFrameWriter:
 
     def _work(self):
         while True:
-            try:
-                idx, frame = self.q.get(timeout=10)
-            except queue.Empty:
+            item = self.q.get()
+            if item is self._DONE:
                 return
+            idx, frame = item
             write_png(os.path.join(self.directory, f"{idx:05d}.png"), frame)
 
-    def close(self, timeout: float = 15.0) -> None:
-        self.q.join() if False else None
-        import time
-
-        deadline = time.time() + timeout
-        while not self.q.empty() and time.time() < deadline:
-            time.sleep(0.05)
+    def close(self, timeout: float = 60.0) -> None:
+        self.q.put(self._DONE)
+        self._thread.join(timeout=timeout)

@@ -63,7 +63,6 @@ def assign_auction(
     b = b.at[:n, :m].set(jnp.where(real, benefit, tie_break[:n, :m]))
     nk = jnp.asarray(float(k), benefit.dtype)
     eps_final = scale / (1e4 * (nk + 1.0))
-    arange_k = jnp.arange(k)
 
     def cond(state):
         it, eps, price, row_of_col, col_of_row = state

@@ -73,6 +73,9 @@ def crop_and_resize_pallas(
     j = jnp.arange(S, dtype=boxes.dtype)
     xs = x1[:, None] + (j[None, :] + 0.5) * bw[:, None] - 0.5  # [n,S]
     ys = y1[:, None] + (j[None, :] + 0.5) * bh[:, None] - 0.5
+    # border-replicating clamp (must match ops/roi_align.py)
+    xs = jnp.clip(xs, 0.0, W - 1.0)
+    ys = jnp.clip(ys, 0.0, H - 1.0)
 
     x0f = jnp.floor(xs)
     y0f = jnp.floor(ys)

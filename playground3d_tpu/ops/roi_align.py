@@ -34,9 +34,13 @@ def crop_and_resize(
     bh = (y2 - y1) / out_size
 
     j = jnp.arange(out_size, dtype=boxes.dtype)
-    # bin-center sample coordinates, half-pixel convention
+    # bin-center sample coordinates, half-pixel convention; clamped to the
+    # frame so out-of-bounds samples replicate the border (clamping indices
+    # alone would blend pixels 0/1 with a stale fractional weight)
     xs = x1[:, None] + (j[None, :] + 0.5) * bw[:, None] - 0.5  # [n,S]
     ys = y1[:, None] + (j[None, :] + 0.5) * bh[:, None] - 0.5  # [n,S]
+    xs = jnp.clip(xs, 0.0, W - 1.0)
+    ys = jnp.clip(ys, 0.0, H - 1.0)
 
     x0 = jnp.floor(xs)
     y0 = jnp.floor(ys)

@@ -300,7 +300,6 @@ class MultiCameraTracker:
         crop_params=None,
         depth: int = 50,
         detect_fn: Optional[Callable] = None,
-        crop_fn: Optional[Callable] = None,
         centers: Optional[np.ndarray] = None,
         stem: str = "conv7",
         crop_stem: str = "conv7",
@@ -322,7 +321,6 @@ class MultiCameraTracker:
         self.centers = jnp.asarray(centers)
 
         self.detect_fn = detect_fn
-        self.crop_fn = crop_fn
         if detect_fn is None:
             assert det_params is not None
             self._detect_step = make_mc_detect_step(
@@ -330,7 +328,7 @@ class MultiCameraTracker:
             )
         else:
             self._parsed_step = make_mc_detect_step_from_detections(self.bank, self.kfp, cfg)
-        if crop_fn is None and crop_params is not None:
+        if crop_params is not None:
             self._crop_step = make_crop_step(
                 crop_params, depth, self.bank, self.centers, self.kfp, cfg,
                 stem=crop_stem,

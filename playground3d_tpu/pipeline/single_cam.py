@@ -198,7 +198,7 @@ class SingleCameraTracker:
         start = time.time()
         n = 0
         for frame_num, (frame, t_abs) in enumerate(frames):
-            if frame_num > cutoff:
+            if frame_num >= cutoff:
                 break
             self.process_frame(frame, t_abs, frame_num)
             n += 1
