@@ -155,8 +155,13 @@ class SyntheticDetectionDataset:
         crop_mode: bool = False,
         crop_size: int = 112,
         zoom: float = 1.0,
+        output_dtype: str = "float32",
     ):
         self.image_shape = image_shape
+        # "uint8": emit raw uint8 frames (normalize on device via
+        # models.retinanet.normalize_on_device) — 4x less host->device
+        # transfer than normalized float32
+        self.output_dtype = output_dtype
         self.augment = augment
         self.crop_mode = crop_mode
         self.crop_size = crop_size
@@ -252,7 +257,8 @@ class SyntheticDetectionDataset:
         t = float(self.rng.uniform(0, 3.0))
         h, w = self.image_shape
         frame, labels = render_frame(
-            scene, t, self._P, height=h, width=w, rng=self.rng
+            scene, t, self._P, height=h, width=w, rng=self.rng,
+            normalized=self.output_dtype != "uint8",
         )
         if self.crop_mode:
             if len(labels) > 0:
@@ -269,6 +275,9 @@ class SyntheticDetectionDataset:
             frame = photometric_jitter(frame, self.rng)
             if self.rng.uniform() < 0.5:
                 frame, labels = hflip(frame, labels)
+        if self.output_dtype == "uint8":
+            frame = (np.clip(frame, 0.0, 1.0) * 255.0).astype(np.uint8)
+            return frame, pad_labels(labels)
         return frame.astype(np.float32), pad_labels(labels)
 
     def _crop_around_object(self, frame, labels):

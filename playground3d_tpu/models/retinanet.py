@@ -39,6 +39,23 @@ from playground3d_tpu.ops.nms import batched_nms, nms
 
 DEFAULT_NUM_CLASSES = 8
 
+# ImageNet constants tiled for s2d-packed channel counts
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def normalize_on_device(images: jnp.ndarray) -> jnp.ndarray:
+    """uint8 frames -> ImageNet-normalized float32 on device. Hosts can ship
+    frames as uint8 (4x less transfer than f32); channel constants tile to
+    any s2d-packed channel count (c % 3 is the color)."""
+    if images.dtype != jnp.uint8:
+        return images
+    ch = images.shape[-1]
+    reps = ch // 3
+    mean = jnp.asarray(np.tile(_IMAGENET_MEAN, reps))
+    std = jnp.asarray(np.tile(_IMAGENET_STD, reps))
+    return (images.astype(jnp.float32) / 255.0 - mean) / std
+
 
 class Detections(NamedTuple):
     """Fixed-capacity masked detection set."""
@@ -80,7 +97,9 @@ def forward_raw(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """NHWC images -> (classification [N,A,K] (sigmoided), regression [N,A,12]).
 
-    With stem="s2d" the input may be host-packed [N,H/4,W/4,48]."""
+    With stem="s2d" the input may be host-packed [N,H/4,W/4,48]; uint8
+    inputs are normalized on device (see normalize_on_device)."""
+    images = normalize_on_device(images)
     c3, c4, c5 = resnet_apply(params["backbone"], images, depth, dtype, stem=stem)
     feats = fpn_apply(params["fpn"], c3, c4, c5, dtype)
     return head_apply(

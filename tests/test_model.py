@@ -205,3 +205,33 @@ def test_s2d_stem_shapes():
         params, jnp.asarray(packed[None]), depth=18, pre_topk=256, max_dets=16, stem="s2d"
     )
     assert det.boxes.shape == (16, 20)
+
+
+def test_uint8_input_normalized_on_device():
+    from playground3d_tpu.models.retinanet import normalize_on_device
+    from playground3d_tpu.utils.constants import IMAGENET_MEAN, IMAGENET_STD
+
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 255, (1, 16, 24, 3), dtype=np.uint8)
+    got = np.asarray(normalize_on_device(jnp.asarray(u8)))
+    want = (u8.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # s2d-packed channel tiling
+    u48 = rng.integers(0, 255, (1, 4, 6, 48), dtype=np.uint8)
+    got48 = np.asarray(normalize_on_device(jnp.asarray(u48)))
+    want48 = (u48.astype(np.float32) / 255.0 - np.tile(IMAGENET_MEAN, 16)) / np.tile(IMAGENET_STD, 16)
+    np.testing.assert_allclose(got48, want48, atol=1e-6)
+    # f32 passes through unchanged
+    f = rng.normal(size=(1, 4, 4, 3)).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(normalize_on_device(jnp.asarray(f))), f)
+
+
+def test_forward_uint8_matches_f32(params18):
+    rng = np.random.default_rng(1)
+    u8 = rng.integers(0, 255, (1, *IMG, 3), dtype=np.uint8)
+    from playground3d_tpu.utils.constants import IMAGENET_MEAN, IMAGENET_STD
+
+    f32 = ((u8.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD)
+    c1, r1 = forward_raw(params18, jnp.asarray(u8), depth=18)
+    c2, r2 = forward_raw(params18, jnp.asarray(f32), depth=18)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=2e-3)
