@@ -23,8 +23,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
-    devices = jax.devices()
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis: str = DATA_AXIS,
+    devices=None,
+) -> Mesh:
+    """Build a 1-D mesh. Pass ``devices`` explicitly (e.g.
+    ``jax.devices("cpu")``) to avoid initializing the default backend."""
+    if devices is None:
+        devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))
