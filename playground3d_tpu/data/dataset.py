@@ -420,19 +420,39 @@ class Prefetcher:
             item = jax.tree_util.tree_map(jax.device_put, item)
         return item
 
+    def _put(self, item) -> bool:
+        """Bounded put that re-checks the stop flag so producer threads can
+        observe close() instead of blocking forever on a full queue."""
+        while not self._stop:
+            try:
+                self.q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _work_iter(self, it):
         try:
             for item in it:
-                self.q.put(self._stage(item))
+                if not self._put(self._stage(item)):
+                    return
         finally:
-            self.q.put(self._done)
+            self._put(self._done)
 
     def _work_factory(self, factory):
         while not self._stop:
-            self.q.put(self._stage(factory()))
+            if not self._put(self._stage(factory())):
+                return
 
     def close(self):
         self._stop = True
+        # drain so producers stuck mid-put wake up and exit promptly,
+        # releasing any staged device buffers
+        try:
+            while True:
+                self.q.get_nowait()
+        except queue.Empty:
+            pass
 
     def __iter__(self):
         return self

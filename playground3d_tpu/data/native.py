@@ -31,7 +31,13 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_NATIVE_DIR, "framepipe.cc")
+    stale = (
+        os.path.exists(_LIB_PATH)
+        and os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    )
+    if not os.path.exists(_LIB_PATH) or stale:
         try:
             subprocess.run(
                 ["make", "-C", _NATIVE_DIR, "-s"],

@@ -175,9 +175,146 @@ class ImageDirSource(FrameSource):
         return frame.astype(np.float32), t
 
 
+def resize_frame(frame: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
+    """Resize [H,W,3] uint8 to ``hw``. Uses cv2 when present; otherwise a
+    box filter for integer downscales (the 4K->1080p case) or bilinear."""
+    th, tw = hw
+    h, w = frame.shape[:2]
+    if (h, w) == (th, tw):
+        return frame
+    if DECODER == "cv2":
+        import cv2
+
+        return cv2.resize(frame, (tw, th))
+    if h % th == 0 and w % tw == 0 and h // th == w // tw:
+        f = h // th
+        out = (
+            frame[: th * f, : tw * f]
+            .reshape(th, f, tw, f, -1)
+            .mean(axis=(1, 3))
+        )
+        return out.astype(frame.dtype)
+    ys = np.linspace(0, h - 1, th)
+    xs = np.linspace(0, w - 1, tw)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    fr = frame.astype(np.float32)
+    top = fr[y0][:, x0] * (1 - fx) + fr[y0][:, x1] * fx
+    bot = fr[y1][:, x0] * (1 - fx) + fr[y1][:, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    return out.astype(frame.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2): a first-party, dependency-free video container codec.
+# ffmpeg converts any recording to y4m losslessly-enough for this pipeline
+# (`ffmpeg -i in.mp4 out.y4m`), and the burned-in timestamp strip is pure
+# black/white so it survives BT.601 4:2:0 roundtrips (decode binarizes at
+# half intensity before checksum matching).
+# ---------------------------------------------------------------------------
+
+
+class _Y4MReader:
+    """Streaming YUV4MPEG2 reader (C420/C444, 8-bit), pure numpy."""
+
+    def __init__(self, path: str):
+        self.f = open(path, "rb")
+        header = self.f.readline().decode("ascii", "replace")
+        if not header.startswith("YUV4MPEG2"):
+            self.f.close()
+            raise ValueError(f"{path}: not a YUV4MPEG2 stream")
+        self.w = self.h = None
+        self.c = "420"
+        for tok in header.split()[1:]:
+            if tok[0] == "W":
+                self.w = int(tok[1:])
+            elif tok[0] == "H":
+                self.h = int(tok[1:])
+            elif tok[0] == "C":
+                self.c = tok[1:]
+        if self.w is None or self.h is None:
+            self.f.close()
+            raise ValueError(f"{path}: y4m header missing W/H")
+
+    def read(self) -> Optional[np.ndarray]:
+        line = self.f.readline()
+        if not line:
+            return None
+        if not line.startswith(b"FRAME"):
+            return None
+        w, h = self.w, self.h
+        ysize = w * h
+        if self.c.startswith("444"):
+            csize, cw, ch = ysize, w, h
+        elif self.c.startswith("420"):
+            csize, cw, ch = (w // 2) * (h // 2), w // 2, h // 2
+        else:
+            raise ValueError(f"unsupported y4m colorspace C{self.c}")
+        data = self.f.read(ysize + 2 * csize)
+        if len(data) < ysize + 2 * csize:
+            return None
+        Y = np.frombuffer(data[:ysize], np.uint8).reshape(h, w).astype(np.float32)
+        U = np.frombuffer(data[ysize : ysize + csize], np.uint8).reshape(ch, cw)
+        V = np.frombuffer(data[ysize + csize :], np.uint8).reshape(ch, cw)
+        if cw != w:
+            U = U.repeat(2, 0).repeat(2, 1)[:h, :w]
+            V = V.repeat(2, 0).repeat(2, 1)[:h, :w]
+        U = U.astype(np.float32)
+        V = V.astype(np.float32)
+        # BT.601 limited range
+        y = (Y - 16.0) * (255.0 / 219.0)
+        u = (U - 128.0) * (255.0 / 224.0)
+        v = (V - 128.0) * (255.0 / 224.0)
+        r = y + 1.402 * v
+        g = y - 0.344136 * u - 0.714136 * v
+        b = y + 1.772 * u
+        rgb = np.stack([r, g, b], axis=-1)
+        return np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+
+    def close(self):
+        self.f.close()
+
+
+def write_y4m(path: str, frames, fps: int = 30, subsample: bool = True) -> None:
+    """Write an iterable of [H,W,3] uint8 RGB frames as YUV4MPEG2 (BT.601
+    limited range, C420 when ``subsample`` else C444)."""
+    frames = iter(frames)
+    first = next(frames)
+    h, w = first.shape[:2]
+    tag = "C420" if subsample else "C444"
+    with open(path, "wb") as f:
+        f.write(f"YUV4MPEG2 W{w} H{h} F{int(fps)}:1 Ip A1:1 {tag}\n".encode())
+
+        def emit(frame):
+            fr = frame.astype(np.float32)
+            r, g, b = fr[..., 0], fr[..., 1], fr[..., 2]
+            y = 16.0 + (219.0 / 255.0) * (0.299 * r + 0.587 * g + 0.114 * b)
+            u = 128.0 + (224.0 / 255.0) * (-0.168736 * r - 0.331264 * g + 0.5 * b)
+            v = 128.0 + (224.0 / 255.0) * (0.5 * r - 0.418688 * g - 0.081312 * b)
+            if subsample:
+                u = u[: h // 2 * 2, : w // 2 * 2].reshape(h // 2, 2, w // 2, 2).mean((1, 3))
+                v = v[: h // 2 * 2, : w // 2 * 2].reshape(h // 2, 2, w // 2, 2).mean((1, 3))
+            f.write(b"FRAME\n")
+            for plane in (y, u, v):
+                f.write(np.clip(plane + 0.5, 0, 255).astype(np.uint8).tobytes())
+
+        emit(first)
+        for frame in frames:
+            emit(frame)
+
+
 class VideoFrameSource(FrameSource):
-    """Real video decode: cv2 / PyAV / ffmpeg-pipe backends, with pixel
-    timestamp parsing (mp_loader.py:206-247). Raises if no backend exists."""
+    """Real video decode with pixel timestamp parsing (mp_loader.py:206-247).
+
+    Backends: the first-party y4m reader (by extension, no dependencies),
+    else cv2 / PyAV / ffmpeg-pipe. The timestamp is parsed from the frame at
+    its NATIVE resolution *before* resizing — the reference does the same
+    (mp_loader.py load_to_queue_video), and 4K timestamp geometry never
+    matches a resized frame."""
 
     def __init__(
         self,
@@ -186,10 +323,12 @@ class VideoFrameSource(FrameSource):
         parse_ts=True,
         ts_geometries: Optional[list] = None,
     ):
-        if DECODER is None:
+        self._backend = "y4m" if path.endswith(".y4m") else DECODER
+        if self._backend is None:
             raise RuntimeError(
-                "no video decode backend available (cv2/PyAV/ffmpeg absent); "
-                "use SyntheticVideoSource or ImageDirSource"
+                "no video decode backend available (cv2/PyAV/ffmpeg absent "
+                "and not a .y4m file); use SyntheticVideoSource, "
+                "ImageDirSource, or convert to y4m"
             )
         self.path = path
         self.resize_hw = resize_hw
@@ -201,20 +340,45 @@ class VideoFrameSource(FrameSource):
         self._last_ts: Optional[float] = None
         self._open()
 
+    def _probe_native_hw(self) -> Tuple[int, int]:
+        """Native (h, w) via ffprobe, falling back to resize_hw."""
+        import shutil
+        import subprocess
+
+        if shutil.which("ffprobe"):
+            try:
+                out = subprocess.run(
+                    [
+                        "ffprobe", "-v", "error", "-select_streams", "v:0",
+                        "-show_entries", "stream=width,height",
+                        "-of", "csv=p=0", self.path,
+                    ],
+                    capture_output=True,
+                    timeout=30,
+                )
+                w, h = map(int, out.stdout.strip().split(b",")[:2])
+                return h, w
+            except Exception:
+                pass
+        return self.resize_hw
+
     def _open(self):
-        if DECODER == "cv2":
+        if self._backend == "y4m":
+            self._y4m = _Y4MReader(self.path)
+        elif self._backend == "cv2":
             import cv2
 
             self._cap = cv2.VideoCapture(self.path)
-        elif DECODER == "av":
+        elif self._backend == "av":
             import av
 
             self._container = av.open(self.path)
             self._stream = self._container.decode(video=0)
-        else:  # ffmpeg subprocess pipe
+        else:  # ffmpeg subprocess pipe, decoding at NATIVE size
             import subprocess
 
-            h, w = self.resize_hw
+            h, w = self._probe_native_hw()
+            self._ffmpeg_hw = (h, w)
             self._proc = subprocess.Popen(
                 [
                     "ffmpeg", "-i", self.path, "-f", "rawvideo",
@@ -225,41 +389,42 @@ class VideoFrameSource(FrameSource):
             )
 
     def _read_raw(self) -> Optional[np.ndarray]:
-        h, w = self.resize_hw
-        if DECODER == "cv2":
+        """One decoded frame at NATIVE resolution, RGB uint8."""
+        if self._backend == "y4m":
+            return self._y4m.read()
+        if self._backend == "cv2":
             ok, frame = self._cap.read()
             if not ok:
                 return None
-            import cv2
-
-            frame = cv2.resize(frame, (w, h))[:, :, ::-1]  # BGR->RGB
-            return frame
-        if DECODER == "av":
+            return frame[:, :, ::-1]  # BGR->RGB
+        if self._backend == "av":
             try:
                 frame = next(self._stream)
             except StopIteration:
                 return None
-            arr = frame.to_ndarray(format="rgb24")
-            return arr[:h, :w]
+            return frame.to_ndarray(format="rgb24")
+        h, w = self._ffmpeg_hw
         data = self._proc.stdout.read(h * w * 3)
         if len(data) < h * w * 3:
             return None
         return np.frombuffer(data, np.uint8).reshape(h, w, 3)
 
     def __next__(self):
-        frame = self._read_raw()
-        if frame is None:
+        raw = self._read_raw()
+        if raw is None:
             raise StopIteration
         t = None
         if self.parse_ts:
+            # parse on the original frame, BEFORE resize (mp_loader.py order)
             for g, checks in zip(self._geoms, self._checks):
-                t, _ = parse_frame_timestamp(frame, g, checks)
+                t, _ = parse_frame_timestamp(raw, g, checks)
                 if t is not None:
                     break
         if t is None:
             # fallback: previous + nominal period (MC3D:213-215)
             t = (self._last_ts + 1 / 30.0) if self._last_ts is not None else 0.0
         self._last_ts = t
+        frame = resize_frame(raw, self.resize_hw)
         return normalize_frame(frame), t
 
 
@@ -270,15 +435,35 @@ class PrefetchingSource(FrameSource):
     def __init__(self, source: FrameSource, depth: int = 5):
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self._done = object()
+        self._stop = False
         self._thread = threading.Thread(target=self._work, args=(source,), daemon=True)
         self._thread.start()
+
+    def _put(self, item) -> bool:
+        """Stop-aware bounded put so close() can end a blocked producer."""
+        while not self._stop:
+            try:
+                self.q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _work(self, source):
         try:
             for item in source:
-                self.q.put(item)
+                if not self._put(item):
+                    return
         finally:
-            self.q.put(self._done)
+            self._put(self._done)
+
+    def close(self):
+        self._stop = True
+        try:
+            while True:
+                self.q.get_nowait()
+        except queue.Empty:
+            pass
 
     def __next__(self):
         try:

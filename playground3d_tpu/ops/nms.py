@@ -36,10 +36,12 @@ NEG_INF = -1e30
 
 
 def nms_iterations_for(n: int) -> int:
-    """Fixed-point rounds: suppression chains longer than ~16 do not occur in
-    detection workloads (each link needs a strictly-lower score and >thr
-    overlap with the previous link but not earlier kept links)."""
-    return min(max(8, n // 8), 16)
+    """Upper bound on fixed-point rounds: the iteration provably converges to
+    the greedy solution within n rounds (the correct keep-prefix grows by at
+    least one box per round). Typical detection workloads converge in <10;
+    the while_loop exits at the fixed point, so the bound only matters for
+    adversarial chains."""
+    return n
 
 
 @functools.partial(jax.jit, static_argnames=("max_keep", "n_iter"))
@@ -75,10 +77,19 @@ def nms(
         & mask[None, :]
     )
 
-    def body(_, keep):
-        return ~jnp.any(beats & keep[:, None], axis=0) & mask
+    # iterate to the fixed point: converges to exactly greedy NMS in at most
+    # n rounds (adversarial chains need ~chain-length rounds; real detection
+    # workloads converge in <10, and the loop exits as soon as keep is stable)
+    def cond(carry):
+        keep, prev, i = carry
+        return (i < n_iter) & jnp.any(keep != prev)
 
-    keep = jax.lax.fori_loop(0, n_iter, body, mask)
+    def body(carry):
+        keep, _, i = carry
+        new = ~jnp.any(beats & keep[:, None], axis=0) & mask
+        return new, keep, i + 1
+
+    keep, _, _ = jax.lax.while_loop(cond, body, (mask, ~mask, 0))
 
     # compact kept indices in decreasing-score order
     rank_scores = jnp.where(keep, s, NEG_INF)
@@ -107,7 +118,13 @@ def batched_nms(
     ``groups`` [N] int — boxes in different groups never suppress each other
     (group = class id, or camera index for the multi-camera tracker).
     """
-    max_c = jnp.max(jnp.where(mask, jnp.max(boxes, axis=1), 0.0))
-    offset = groups.astype(boxes.dtype) * (max_c + 1.0)
-    shifted = boxes + offset[:, None]
+    # offset by the coordinate SPAN (not the max), after shifting to a
+    # non-negative origin — plain ``group * (max + 1)`` only separates groups
+    # when all coordinates are non-negative, but roadway-space boxes can have
+    # negative y (y_range starts at -10 ft)
+    max_c = jnp.max(jnp.where(mask[:, None], boxes, 0.0))
+    min_c = jnp.min(jnp.where(mask[:, None], boxes, 0.0))
+    span = max_c - min_c + 1.0
+    offset = groups.astype(boxes.dtype) * span
+    shifted = (boxes - min_c) + offset[:, None]
     return nms(shifted, scores, mask, iou_threshold, max_keep=max_keep, n_iter=n_iter)

@@ -110,3 +110,62 @@ def test_async_writer(tmp_path):
 
     files = os.listdir(str(tmp_path / "out"))
     assert len(files) == 3
+
+
+def test_y4m_video_source_decodes_with_timestamps(tmp_path, toy_camera):
+    """Real-video path end to end: encode a y4m container, decode it through
+    VideoFrameSource, and require the burned-in pixel timestamps to parse at
+    native resolution before resize (reference mp_loader.py:206-247)."""
+    from playground3d_tpu.data.synthetic import SyntheticScene
+    from playground3d_tpu.data.video import VideoFrameSource, write_y4m
+
+    reg = toy_camera["registry"]
+    P = reg.P[0, 0]
+    scene = SyntheticScene(n_objects=4, seed=3)
+    t0 = 1.6e9
+    # render at a "native" resolution larger than the target so the resize
+    # path is exercised (timestamps must be parsed pre-resize)
+    src = SyntheticVideoSource(
+        scene, P, n_frames=12, t0=t0, height=270 * 2, width=480 * 2,
+        normalized=False, burn_timestamp=True,
+    )
+    frames_u8 = [(np.clip(f, 0, 1) * 255).astype(np.uint8) for f, _ in src]
+    path = str(tmp_path / "clip.y4m")
+    write_y4m(path, frames_u8, fps=30)
+
+    vsrc = VideoFrameSource(path, resize_hw=(270, 480))
+    decoded = list(vsrc)
+    assert len(decoded) == 12
+    for i, (frame, t) in enumerate(decoded):
+        assert frame.shape == (270, 480, 3)
+        # timestamps parsed (not the prev+1/30 fallback at t=0.0)
+        np.testing.assert_allclose(t, t0 + i / 30.0, atol=5e-3)
+
+
+def test_y4m_roundtrip_rgb(tmp_path):
+    from playground3d_tpu.data.video import _Y4MReader, write_y4m
+
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 256, (64, 96, 3), dtype=np.uint8) for _ in range(3)]
+    path = str(tmp_path / "rt.y4m")
+    write_y4m(path, frames, subsample=False)  # C444: only range-quantization loss
+    r = _Y4MReader(path)
+    for want in frames:
+        got = r.read()
+        assert got is not None
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 4
+    assert r.read() is None
+
+
+def test_resize_frame_box_and_bilinear():
+    from playground3d_tpu.data.video import resize_frame
+
+    rng = np.random.default_rng(1)
+    f = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+    half = resize_frame(f, (32, 48))
+    want = f.reshape(32, 2, 48, 2, 3).mean((1, 3)).astype(np.uint8)
+    assert np.abs(half.astype(int) - want.astype(int)).max() <= 1
+    odd = resize_frame(f, (30, 40))  # non-integer ratio -> bilinear
+    assert odd.shape == (30, 40, 3)
+    const = resize_frame(np.full((64, 96, 3), 200, np.uint8), (30, 40))
+    assert np.all(const == 200)

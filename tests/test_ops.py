@@ -164,3 +164,163 @@ def test_auction_empty():
         assign_auction(jnp.zeros((4, 4), jnp.float32), jnp.zeros(4, bool), jnp.zeros(4, bool))
     )
     assert (got == -1).all()
+
+
+def test_nms_adversarial_long_chain():
+    # a >16-link suppression chain: box i overlaps only box i+1 with
+    # IoU > thr and scores strictly decrease, so greedy keeps the even
+    # indices — the fixed-point prefix grows ~1 box per round, which the
+    # old 16-round cap silently got wrong
+    n = 48
+    boxes = np.zeros((n, 4), np.float32)
+    for i in range(n):
+        boxes[i] = [i * 6.0, 0.0, i * 6.0 + 10.0, 10.0]  # IoU(adj) = 4/16
+    scores = np.linspace(1.0, 0.1, n).astype(np.float32)
+    thr = 0.2
+    want = ref_nms(boxes, scores, thr)
+    assert want == list(range(0, n, 2))  # sanity: it IS a revival chain
+    idx, mask = nms(jnp.asarray(boxes), jnp.asarray(scores), jnp.ones(n, bool), thr, max_keep=n)
+    got = list(np.asarray(idx)[np.asarray(mask)])
+    assert got == want
+
+
+def test_batched_nms_negative_coords():
+    # roadway-space boxes can have negative y; group separation must use the
+    # coordinate span, not max+1, or groups can collide and cross-suppress
+    box = np.array([[-8.0, -9.5, -2.0, -3.5]], np.float32)
+    boxes = np.concatenate([box, box], 0)
+    scores = np.array([0.9, 0.8], np.float32)
+    groups = np.array([0, 1])
+    idx, mask = batched_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(groups),
+        jnp.ones(2, bool), 0.5, max_keep=2,
+    )
+    assert int(np.asarray(mask).sum()) == 2
+    # and same-group duplicates still suppress
+    idx, mask = batched_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.zeros(2, np.int32),
+        jnp.ones(2, bool), 0.5, max_keep=2,
+    )
+    assert int(np.asarray(mask).sum()) == 1
+
+
+class TestCropMXU:
+    """crop_and_resize_s2d: MXU separable-matmul crops from s2d frames."""
+
+    def _frames(self, rng, C=2, H=128, W=192):
+        from playground3d_tpu.data.video import pack_s2d
+
+        fr = rng.uniform(0, 1, (C, H, W, 3)).astype(np.float32)
+        s2d = np.stack([pack_s2d(f) for f in fr])
+        return fr, s2d
+
+    def test_matches_xla_crop_level0(self, rng):
+        from playground3d_tpu.ops.crop_mxu import crop_and_resize_s2d
+
+        fr, s2d = self._frames(rng)
+        boxes = np.array(
+            [[10.5, 20.25, 90.5, 100.25], [40.0, 8.0, 120.0, 88.0], [0.0, 0.0, 32.0, 32.0]],
+            np.float32,
+        )
+        cams = np.array([0, 1, 1], np.int32)
+        want = np.asarray(
+            crop_and_resize(jnp.asarray(fr), jnp.asarray(boxes), jnp.asarray(cams), out_size=32)
+        )
+        got = np.asarray(
+            crop_and_resize_s2d(
+                jnp.asarray(s2d), jnp.asarray(boxes), jnp.asarray(cams),
+                out_size=32, win_cells=32, layout="hwc", dtype=jnp.float32,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_bf16_close(self, rng):
+        from playground3d_tpu.ops.crop_mxu import crop_and_resize_s2d
+
+        fr, s2d = self._frames(rng)
+        boxes = np.array([[10.0, 20.0, 90.0, 100.0]], np.float32)
+        cams = np.array([0], np.int32)
+        want = np.asarray(
+            crop_and_resize(jnp.asarray(fr), jnp.asarray(boxes), jnp.asarray(cams), out_size=32)
+        )
+        got = np.asarray(
+            crop_and_resize_s2d(
+                jnp.asarray(s2d), jnp.asarray(boxes), jnp.asarray(cams),
+                out_size=32, win_cells=32, layout="hwc",
+            )
+        )
+        assert np.abs(got - want).max() < 0.02
+
+    def test_large_crop_uses_pyramid(self, rng):
+        # a crop bigger than the window samples the half-res level: compare
+        # against XLA crops of a numpy half-res image
+        from playground3d_tpu.data.video import pack_s2d
+        from playground3d_tpu.ops.crop_mxu import crop_and_resize_s2d
+
+        fr, s2d = self._frames(rng, C=1, H=256, W=256)
+        boxes = np.array([[8.0, 8.0, 232.0, 232.0]], np.float32)  # span 224 > 120
+        cams = np.array([0], np.int32)
+        got = np.asarray(
+            crop_and_resize_s2d(
+                jnp.asarray(s2d), jnp.asarray(boxes), jnp.asarray(cams),
+                out_size=32, win_cells=32, n_levels=2, layout="hwc", dtype=jnp.float32,
+            )
+        )
+        half = fr[0].reshape(128, 2, 128, 2, 3).mean((1, 3))[None]
+        want = np.asarray(
+            crop_and_resize(
+                jnp.asarray(half), jnp.asarray(boxes / 2.0), jnp.asarray(cams), out_size=32
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_s2d_layout_roundtrip(self, rng):
+        from playground3d_tpu.models.resnet import space_to_depth
+        from playground3d_tpu.ops.crop_mxu import crop_and_resize_s2d
+
+        fr, s2d = self._frames(rng)
+        boxes = np.array([[16.0, 16.0, 80.0, 80.0]], np.float32)
+        cams = np.array([0], np.int32)
+        hwc = crop_and_resize_s2d(
+            jnp.asarray(s2d), jnp.asarray(boxes), jnp.asarray(cams),
+            out_size=32, win_cells=32, layout="hwc", dtype=jnp.float32,
+        )
+        packed = crop_and_resize_s2d(
+            jnp.asarray(s2d), jnp.asarray(boxes), jnp.asarray(cams),
+            out_size=32, win_cells=32, layout="s2d", dtype=jnp.float32,
+        )
+        np.testing.assert_allclose(
+            np.asarray(space_to_depth(hwc, 4)), np.asarray(packed), atol=1e-5
+        )
+
+    def test_uint8_normalize(self, rng):
+        from playground3d_tpu.data.video import pack_s2d
+        from playground3d_tpu.ops.crop_mxu import crop_and_resize_s2d
+        from playground3d_tpu.utils.constants import IMAGENET_MEAN, IMAGENET_STD
+
+        fr_u8 = rng.integers(0, 256, (1, 128, 128, 3), dtype=np.uint8)
+        s2d = np.stack([pack_s2d(f) for f in fr_u8])
+        boxes = np.array([[8.0, 8.0, 72.0, 72.0]], np.float32)
+        cams = np.array([0], np.int32)
+        got = np.asarray(
+            crop_and_resize_s2d(
+                jnp.asarray(s2d), jnp.asarray(boxes), jnp.asarray(cams),
+                out_size=32, win_cells=32, layout="hwc", dtype=jnp.float32, normalize=True,
+            )
+        )
+        norm = ((fr_u8.astype(np.float32) / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
+        want = np.asarray(
+            crop_and_resize(jnp.asarray(norm), jnp.asarray(boxes), jnp.asarray(cams), out_size=32)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_s2d_halve_is_pixel_avgpool(self, rng):
+        from playground3d_tpu.data.video import pack_s2d
+        from playground3d_tpu.ops.crop_mxu import s2d_halve
+
+        fr = rng.uniform(0, 1, (1, 64, 96, 3)).astype(np.float32)
+        s2d = np.stack([pack_s2d(f) for f in fr])
+        got = np.asarray(s2d_halve(jnp.asarray(s2d), dtype=jnp.float32))
+        half = fr[0].reshape(32, 2, 48, 2, 3).mean((1, 3))
+        want = pack_s2d(half)[None]
+        np.testing.assert_allclose(got, want, atol=1e-5)
