@@ -1,18 +1,25 @@
 """Benchmark: 1080p detect+track throughput on one TPU chip.
 
-Runs the flagship fused pipeline — ResNet-50 directional RetinaNet detection
-+ parse + association + Kalman update + lifecycle, all in one jitted device
-step — over synthetic 1080p frames staged in HBM, and prints ONE JSON line:
+Runs the flagship fused multi-camera crop-tracker pipeline — ResNet-50
+directional RetinaNet full-frame detection every ``d`` frames, MXU crop
+re-detection (resnet18 crop net over s2d crops) in between, parse +
+association + Kalman update + lifecycle — as ONE device program per clip
+(``make_mc_clip_step``: lax.scan over frames with a detect/crop switch), over
+synthetic 1080p frames staged in HBM as uint8 s2d-packed tensors.
 
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Measurement: the device is reached through a network tunnel where dispatch
+is asynchronous (block_until_ready does not bound execution), so the clip is
+iterated inside ONE jitted fori_loop with the tracker state chained through
+iterations and synchronized by a scalar fetch; a 1-iteration run is
+differenced out to remove the round-trip overhead. This reports true
+on-device throughput.
 
-Baseline: the driver's north star of 500 frames/sec/chip (BASELINE.json);
-vs_baseline is the fraction of that target.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}; baseline is
+the driver's 500 frames/sec/chip north star (BASELINE.json).
 """
 
 import json
 import os
-import sys
 import time
 
 import numpy as np
@@ -21,8 +28,6 @@ import numpy as np
 def main() -> None:
     import jax
 
-    # persistent compilation cache: later rounds skip the ~minutes-long
-    # remote compile of the fused step
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -33,21 +38,24 @@ def main() -> None:
 
     import jax.numpy as jnp
 
+    from playground3d_tpu.data.video import pack_s2d
     from playground3d_tpu.geometry.homography import CameraRegistry
     from playground3d_tpu.models import retinanet_init
-    from playground3d_tpu.pipeline.single_cam import make_clip_step, make_full_step
+    from playground3d_tpu.pipeline.camera_bank import bank_from_registry
+    from playground3d_tpu.pipeline.multi_cam import make_mc_clip_step
     from playground3d_tpu.pipeline.tracker_state import init_track_state
     from playground3d_tpu.track.kf import default_params
     from playground3d_tpu.utils.config import TrackerConfig
 
     H, W = 1080, 1920
     DEPTH = 50
-    STEM = "s2d"  # host-packed space-to-depth input: the [H,W,3] layout
-    # pads 3->128 lanes on TPU; packing on the host makes the stem MXU-shaped
-    N_WARM = 2
-    N_ITERS = 15
+    CROP_DEPTH = 18
+    STEM = "s2d"  # host-packed space-to-depth: no [H,W,3] lane padding on device
+    DET_STEP = int(os.environ.get("BENCH_DET_STEP", "3"))
+    T_CLIP = 24  # frames per device call (multiple of DET_STEP)
+    N_ITERS = 12  # clips per timed device loop
 
-    # synthetic camera registry (geometry constants only; costs nothing)
+    # synthetic camera registry (geometry constants only)
     rng = np.random.default_rng(7)
     f, cx, cy = 2000.0, 960.0, 540.0
     cam_pos = np.array([250.0, 60.0, -30.0])
@@ -66,39 +74,62 @@ def main() -> None:
     reg = CameraRegistry()
     reg.add_camera("p1c1", im, sp, np.array([[1e6, cy], [cx, 1e6], vp_z]))
 
-    from playground3d_tpu.pipeline.camera_bank import bank_from_registry
-
-    cfg = TrackerConfig(max_tracks=64, max_dets=48, pre_topk=1024, x_range=(300.0, 800.0))
+    cfg = TrackerConfig(
+        max_tracks=64, max_dets=48, pre_topk=1024, x_range=(300.0, 800.0),
+        det_step=DET_STEP, skip_step=1, crop_slots=32, cd_max=16, cs=112,
+        estimate_ts_bias=False,
+    )
     kfp = default_params()
     bank = bank_from_registry(reg)
-    params = retinanet_init(jax.random.PRNGKey(0), num_classes=8, depth=DEPTH, stem=STEM)
-    T_CLIP = 20  # frames advanced per device call (lax.scan clip API)
-    clip = make_clip_step(params, DEPTH, bank, kfp, cfg, stem=STEM)
+    centers = jnp.asarray(np.array([[565.0, 60.0]], np.float32))
+    det_params = retinanet_init(jax.random.PRNGKey(0), num_classes=8, depth=DEPTH, stem=STEM)
+    crop_params = retinanet_init(
+        jax.random.PRNGKey(1), num_classes=8, depth=CROP_DEPTH, stem=STEM,
+        tower_depth=2, shared_tower=True,
+    )
+    clip = make_mc_clip_step(
+        det_params, DEPTH, bank, centers, kfp, cfg,
+        crop_params=crop_params, crop_depth=CROP_DEPTH, stem=STEM, crop_stem=STEM,
+    )
 
-    state = init_track_state(cfg.max_tracks)
-    from playground3d_tpu.data.video import pack_s2d
+    # uint8 s2d frames (4x less HBM + transfer than f32; normalized on device)
+    raw = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+    packed = pack_s2d(raw)
+    frames = jnp.asarray(
+        np.broadcast_to(packed[None, None], (T_CLIP, 1) + packed.shape).copy()
+    )
+    base_times = jnp.asarray(np.arange(T_CLIP, dtype=np.float32)[:, None] / 30.0)
 
-    raw = rng.normal(0, 1, (H, W, 3)).astype(np.float32)
-    packed = pack_s2d(raw) if STEM == "s2d" else raw
-    frames = jnp.asarray(np.broadcast_to(packed[None, None], (T_CLIP, 1) + packed.shape).copy())
+    state0 = init_track_state(cfg.max_tracks)
+    bias0 = jnp.zeros((1,), jnp.float32)
 
-    def times_for(i0):
-        return jnp.asarray(
-            (np.arange(T_CLIP, dtype=np.float32)[:, None] + i0) / 30.0
-        )
+    def make_loop(n_iters):
+        @jax.jit
+        def loop(state, bias, frames, base_times):
+            def body(i, carry):
+                st, tb = carry
+                t = base_times + (i * T_CLIP).astype(jnp.float32) / 30.0
+                st2, tb2, snaps = clip(st, tb, frames, t, i * T_CLIP)
+                return st2, tb2
 
-    # warm up / compile
-    for i in range(N_WARM):
-        state, snaps = clip(state, frames, times_for(i * T_CLIP))
-    jax.block_until_ready(snaps.states7)
+            st, tb = jax.lax.fori_loop(0, n_iters, body, (state, bias))
+            # scalar dependency on the final state forces full execution
+            return jnp.sum(st.kf.x) + jnp.sum(tb)
 
-    start = time.time()
-    for i in range(N_ITERS):
-        state, snaps = clip(state, frames, times_for((N_WARM + i) * T_CLIP))
-    jax.block_until_ready(snaps.states7)
-    wall = time.time() - start
+        return loop
 
-    fps = N_ITERS * T_CLIP / wall
+    loop1, loopN = make_loop(1), make_loop(N_ITERS)
+    float(loop1(state0, bias0, frames, base_times))  # compile + warm
+    float(loopN(state0, bias0, frames, base_times))
+    t0 = time.time()
+    float(loop1(state0, bias0, frames, base_times))
+    t1 = time.time() - t0
+    t0 = time.time()
+    float(loopN(state0, bias0, frames, base_times))
+    tN = time.time() - t0
+
+    per_clip = (tN - t1) / (N_ITERS - 1)
+    fps = T_CLIP / per_clip
     baseline = 500.0  # BASELINE.json north star, frames/sec/chip
     print(
         json.dumps(

@@ -142,19 +142,21 @@ def detect_multiframe(
     n = images.shape[0]
     anchors = jnp.asarray(anchors_for_shape(_image_shape_of(images, stem)))
     cls, reg = forward_raw(params, images, depth, num_classes, stem=stem)
-    boxes = decode_regression(reg, anchors)  # [N,A,20]
 
     a = anchors.shape[0]
     scores = jnp.max(cls, axis=-1).reshape(-1)  # [N*A]
-    classes = jnp.argmax(cls, axis=-1).reshape(-1).astype(jnp.int32)
-    cam = jnp.repeat(jnp.arange(n, dtype=jnp.int32), a)
-    boxes = boxes.reshape(n * a, 20)
 
+    # top-k FIRST, then decode/argmax only the k survivors — decoding all
+    # N*A anchors to 20 coords costs more than the whole NMS stage
     k = min(pre_topk, n * a)
     top_scores, top_idx = jax.lax.top_k(scores, k)
-    top_boxes = boxes[top_idx]
-    top_classes = classes[top_idx]
-    top_cam = cam[top_idx]
+    anchor_idx = top_idx % a
+    top_cam = (top_idx // a).astype(jnp.int32)
+    top_reg = reg.reshape(n * a, -1)[top_idx]
+    top_boxes = decode_regression(top_reg, anchors[anchor_idx])  # [k,20]
+    top_classes = (
+        jnp.argmax(cls.reshape(n * a, -1)[top_idx], axis=-1).astype(jnp.int32)
+    )
     valid = top_scores > score_threshold
 
     keep_idx, keep_mask = batched_nms(
@@ -188,17 +190,18 @@ def detect_singleframe(
     """
     anchors = jnp.asarray(anchors_for_shape(_image_shape_of(image[None], stem)))
     cls, reg = forward_raw(params, image[None], depth, num_classes, stem=stem)
-    boxes = decode_regression(reg, anchors)[0]  # [A,20]
     cls = cls[0]  # [A,K]
+    reg = reg[0]  # [A,12]
 
     a = anchors.shape[0]
-    # flatten (anchor, class) pairs; box repeats across classes via index math
+    # flatten (anchor, class) pairs; box repeats across classes via index
+    # math; decode only the k anchors that survive the top-k
     flat_scores = cls.reshape(-1)  # [A*K]
     k = min(pre_topk, a * num_classes)
     top_scores, top_idx = jax.lax.top_k(flat_scores, k)
     anchor_idx = top_idx // num_classes
     class_idx = (top_idx % num_classes).astype(jnp.int32)
-    top_boxes = boxes[anchor_idx]
+    top_boxes = decode_regression(reg[anchor_idx], anchors[anchor_idx])
     valid = top_scores > score_threshold
 
     keep_idx, keep_mask = batched_nms(

@@ -24,6 +24,7 @@ from playground3d_tpu.evaluation.csv_io import TrackRecord, write_results_csv
 from playground3d_tpu.geometry import transforms as T
 from playground3d_tpu.models.retinanet import Detections, detect_multiframe, localize
 from playground3d_tpu.ops.iou import elementwise_iou, pairwise_iou
+from playground3d_tpu.ops.crop_mxu import crop_and_resize_s2d
 from playground3d_tpu.ops.roi_align import crop_and_resize
 from playground3d_tpu.pipeline.camera_bank import (
     CameraBank,
@@ -134,32 +135,53 @@ def make_crop_step(
     kfp: KFParams,
     cfg: TrackerConfig,
     stem: str = "conv7",
+    frame_stem: str = "conv7",
 ):
-    """Jitted (state, frames [C,H,W,3], cam_times [C]) -> (state', snapshot).
+    """Jitted (state, frames, cam_times, ts_bias) -> (state', snapshot).
 
-    For every live slot: pick nearest camera, roll to that camera's clock,
+    ``frames`` is [C,H,W,3] when ``frame_stem=="conv7"`` or s2d-packed
+    [C,H/4,W/4,48] (uint8 or float) when ``frame_stem=="s2d"`` — the s2d
+    path crops with the MXU separable-matmul kernel
+    (:func:`playground3d_tpu.ops.crop_mxu.crop_and_resize_s2d`).
+
+    For each of the ``cfg.crop_slots`` highest-priority live slots (all
+    slots when 0): pick nearest camera, roll to that camera's clock,
     project, crop, re-detect, pick the best candidate box by
     (1-W)*IoU + W*conf, and Kalman-update.
     """
+    cs = cfg.cs
 
     @jax.jit
     def step(state: TrackState, frames: jnp.ndarray, cam_times: jnp.ndarray, ts_bias: jnp.ndarray):
         N = state.ids.shape[0]
         live = state.kf.mask
+        K = cfg.crop_slots if (cfg.crop_slots and cfg.crop_slots < N) else N
 
-        # nearest camera per object (MC3D:1156-1164)
         pre = kf_view(state.kf, jnp.where(live, jnp.mean(cam_times) - state.t_off, 0.0), kfp)
-        d2 = (pre[:, 0:1] - centers[None, :, 0]) ** 2 + (pre[:, 1:2] - centers[None, :, 1]) ** 2
-        cam_idx = jnp.argmin(d2, axis=1).astype(jnp.int32)  # [N]
+        if K < N:
+            # crop the oldest live slots (stable, id-continuity first)
+            pri = jnp.where(live, state.age.astype(jnp.float32) + 1.0, -1.0)
+            _, sel = jax.lax.top_k(pri, K)
+            sel = sel.astype(jnp.int32)
+        else:
+            sel = jnp.arange(N, dtype=jnp.int32)
+        live_k = live[sel]
 
-        # roll each object to its camera's (bias-corrected) clock (MC3D:1169-1172)
-        obj_t = cam_times[cam_idx] + ts_bias[cam_idx]
-        dt = jnp.where(live, obj_t - state.t_off, 0.0)
+        # nearest camera per selected object (MC3D:1156-1164)
+        pre_k = pre[sel]
+        d2 = (pre_k[:, 0:1] - centers[None, :, 0]) ** 2 + (pre_k[:, 1:2] - centers[None, :, 1]) ** 2
+        cam_k = jnp.argmin(d2, axis=1).astype(jnp.int32)  # [K]
+
+        # roll each selected object to its camera's (bias-corrected) clock
+        # (MC3D:1169-1172); unselected slots keep dt=0 (identity predict)
+        obj_t = cam_times[cam_k] + ts_bias[cam_k]
+        dt_k = jnp.where(live_k, obj_t - state.t_off[sel], 0.0)
+        dt = jnp.zeros((N,), jnp.float32).at[sel].set(dt_k)
         kf1 = kf_predict(state.kf, dt, kfp)
-        t_off = jnp.where(live, obj_t, state.t_off)
+        t_off = state.t_off.at[sel].set(jnp.where(live_k, obj_t, state.t_off[sel]))
 
-        state6 = jnp.concatenate([kf1.x[:, :5], kf1.d[:, None]], axis=1)
-        im_objs = state_to_im_banked(bank, state6, cam_idx)  # [N,8,2]
+        state6_k = jnp.concatenate([kf1.x[sel, :5], kf1.d[sel, None]], axis=1)
+        im_objs = state_to_im_banked(bank, state6_k, cam_k)  # [K,8,2]
 
         # square crop boxes, expanded (MC3D get_crop_boxes:920-945)
         hull = T.im_hull_xyxy(im_objs)
@@ -172,7 +194,14 @@ def make_crop_step(
             [cx - scale / 2, cy - scale / 2, cx + scale / 2, cy + scale / 2], axis=1
         )
 
-        crops = crop_and_resize(frames, crop_boxes, cam_idx, out_size=cfg.cs)
+        if frame_stem == "s2d":
+            crops = crop_and_resize_s2d(
+                frames, crop_boxes, cam_k, out_size=cs,
+                layout="s2d" if stem == "s2d" else "hwc",
+                normalize=frames.dtype == jnp.uint8,
+            )
+        else:
+            crops = crop_and_resize(frames, crop_boxes, cam_k, out_size=cs)
 
         # crop detector (LOCALIZE path)
         reg_boxes, cls = localize(crop_params, crops, depth=depth, stem=stem)
@@ -180,52 +209,57 @@ def make_crop_step(
         classes = jnp.argmax(cls, axis=2).astype(jnp.int32)
 
         # top cd_max candidates per object (MC3D:1210-1215)
-        top_conf, top_idx = jax.lax.top_k(confs, cfg.cd_max)  # [N,cd]
-        rows = jnp.arange(N)[:, None]
-        cand = reg_boxes[rows, top_idx]  # [N,cd,20]
+        top_conf, top_idx = jax.lax.top_k(confs, cfg.cd_max)  # [K,cd]
+        rows = jnp.arange(K)[:, None]
+        cand = reg_boxes[rows, top_idx]  # [K,cd,20]
         cand_cls = classes[rows, top_idx]
 
         # local crop coords -> global frame coords (MC3D local_to_global:948-971)
-        corners = cand[:, :, :16].reshape(N, cfg.cd_max, 8, 2)
-        corners = corners * (scale / cfg.cs)[:, None, None, None]
+        corners = cand[:, :, :16].reshape(K, cfg.cd_max, 8, 2)
+        corners = corners * (scale / cs)[:, None, None, None]
         corners = corners + crop_boxes[:, None, None, 0:2]
 
         # im -> state with per-candidate camera + height refine (MC3D:1217-1227)
-        flat = corners.reshape(N * cfg.cd_max, 8, 2)
-        flat_cam = jnp.repeat(cam_idx, cfg.cd_max)
+        flat = corners.reshape(K * cfg.cd_max, 8, 2)
+        flat_cam = jnp.repeat(cam_k, cfg.cd_max)
         heights = jnp.asarray(CLASS_HEIGHTS)[cand_cls.reshape(-1)]
         cand_state = im_to_state_banked(bank, flat, flat_cam, heights)
         refined = refine_heights_banked(bank, cand_state, flat_cam, flat, heights)
         refined = jnp.where(jnp.isfinite(refined) & (refined > 0.5), refined, heights)
         cand_state = im_to_state_banked(bank, flat, flat_cam, refined)
-        cand_state = cand_state.reshape(N, cfg.cd_max, 6)
+        cand_state = cand_state.reshape(K, cfg.cd_max, 6)
 
         # best box per object: (1-W)*IoU(footprint, a-priori) + W*conf
         # (MC3D select_best_box:974-1028)
-        apri_fp = T.space_footprint_xyxy(T.state_to_space(state6))  # [N,4]
+        apri_fp = T.space_footprint_xyxy(T.state_to_space(state6_k))  # [K,4]
         cand_fp = T.space_footprint_xyxy(
-            T.state_to_space(cand_state.reshape(N * cfg.cd_max, 6))
-        ).reshape(N, cfg.cd_max, 4)
+            T.state_to_space(cand_state.reshape(K * cfg.cd_max, 6))
+        ).reshape(K, cfg.cd_max, 4)
         ious = elementwise_iou(cand_fp, apri_fp[:, None, :])
         score = (1 - cfg.w_conf) * ious + cfg.w_conf * top_conf
         best = jnp.argmax(score, axis=1)
-        rowsN = jnp.arange(N)
-        best_state = cand_state[rowsN, best]  # [N,6]
-        best_conf = top_conf[rowsN, best]
-        best_cls = cand_cls[rowsN, best]
+        rowsK = jnp.arange(K)
+        best_state = cand_state[rowsK, best]  # [K,6]
+        best_conf = top_conf[rowsK, best]
+        best_cls = cand_cls[rowsK, best]
 
-        # measurement update with crop measurement model (R2) (MC3D:1235)
-        upd = live
-        kf2 = kf_update(kf1, best_state[:, :5], upd, kfp, measurement_idx=2)
-
-        # fsld/class bookkeeping (MC3D:1240-1252)
-        good = best_conf >= cfg.sigma_c
-        fsld = jnp.where(live & good, 0, state.fsld + (live & ~good).astype(jnp.int32))
-        votes = state.cls_votes + jnp.where(
-            live[:, None], jax.nn.one_hot(best_cls, NUM_CLASSES), 0.0
+        # measurement update with crop measurement model (R2) (MC3D:1235),
+        # scattered back to the full pool
+        meas = jnp.zeros((N, 5), jnp.float32).at[sel].set(
+            best_state[:, :5].astype(jnp.float32)
         )
-        conf_sum = state.conf_sum + jnp.where(live, best_conf, 0.0)
-        conf_cnt = state.conf_cnt + live.astype(jnp.float32)
+        upd = jnp.zeros((N,), bool).at[sel].set(live_k)
+        kf2 = kf_update(kf1, meas, upd, kfp, measurement_idx=2)
+
+        # fsld/class bookkeeping (MC3D:1240-1252) — only attempted slots
+        good = jnp.zeros((N,), bool).at[sel].set(live_k & (best_conf >= cfg.sigma_c))
+        attempted = upd
+        fsld = jnp.where(good, 0, state.fsld + (attempted & ~good).astype(jnp.int32))
+        votes = state.cls_votes.at[sel].add(
+            jnp.where(live_k[:, None], jax.nn.one_hot(best_cls, NUM_CLASSES), 0.0)
+        )
+        conf_sum = state.conf_sum.at[sel].add(jnp.where(live_k, best_conf, 0.0))
+        conf_cnt = state.conf_cnt.at[sel].add(live_k.astype(jnp.float32))
 
         new_state = state._replace(
             kf=kf2,
@@ -282,6 +316,78 @@ def make_mc_detect_step(
     return step
 
 
+def make_mc_clip_step(
+    det_params,
+    depth: int,
+    bank: CameraBank,
+    centers: jnp.ndarray,
+    kfp: KFParams,
+    cfg: TrackerConfig,
+    crop_params=None,
+    crop_depth: Optional[int] = None,
+    stem: str = "s2d",
+    crop_stem: str = "s2d",
+):
+    """Fused multi-camera clip tracker with detection cadence: ONE device
+    call advances T frames, running the full-frame detect branch on frames
+    where ``i % cfg.det_step == 0``, the crop re-detection branch on frames
+    where ``i % cfg.skip_step == 0``, and a passthrough snapshot otherwise —
+    the reference's ``track()`` cadence loop (MC3D_crop_tracker.py:1051-1254)
+    as a single ``lax.scan`` with a 3-way ``lax.switch`` per step.
+
+    Returns jitted (state, ts_bias, frames [T,C,...], cam_times [T,C],
+    frame0 scalar) -> (state', ts_bias', snapshots stacked over T).
+    """
+    detect_step = make_mc_detect_step(det_params, depth, bank, kfp, cfg, stem=stem)
+    if crop_params is not None:
+        crop_step = make_crop_step(
+            crop_params, crop_depth if crop_depth is not None else depth,
+            bank, centers, kfp, cfg, stem=crop_stem, frame_stem=stem,
+        )
+    else:
+        crop_step = None
+    d, s = cfg.det_step, cfg.skip_step
+
+    @jax.jit
+    def clip(
+        state: TrackState,
+        ts_bias: jnp.ndarray,
+        frames: jnp.ndarray,  # [T,C,H,W,3] or s2d-packed [T,C,H/4,W/4,48]
+        cam_times: jnp.ndarray,  # [T,C]
+        frame0: jnp.ndarray,  # scalar int32: global index of frames[0]
+    ):
+        T_len = frames.shape[0]
+        fidx = frame0 + jnp.arange(T_len, dtype=jnp.int32)
+
+        def b_detect(op):
+            st, tb, f, t = op
+            st2, snap, tb2 = detect_step(st, f, t, tb)
+            return st2, tb2, snap
+
+        def b_crop(op):
+            st, tb, f, t = op
+            st2, snap = crop_step(st, f, t, tb)
+            return st2, tb, snap
+
+        def b_skip(op):
+            st, tb, f, t = op
+            return st, tb, snapshot(st, jnp.mean(t), kfp, cfg)
+
+        branches = [b_detect, b_crop if crop_step is not None else b_skip, b_skip]
+
+        def body(carry, xt):
+            st, tb = carry
+            f, t, i = xt
+            which = jnp.where(i % d == 0, 0, jnp.where(i % s == 0, 1, 2))
+            st2, tb2, snap = jax.lax.switch(which, branches, (st, tb, f, t))
+            return (st2, tb2), snap
+
+        (state2, tb2), snaps = jax.lax.scan(body, (state, ts_bias), (frames, cam_times, fidx))
+        return state2, tb2, snaps
+
+    return clip
+
+
 class MultiCameraTracker:
     """Host driver for N-camera tracking with crop re-detection.
 
@@ -299,6 +405,7 @@ class MultiCameraTracker:
         det_params=None,
         crop_params=None,
         depth: int = 50,
+        crop_depth: Optional[int] = None,
         detect_fn: Optional[Callable] = None,
         centers: Optional[np.ndarray] = None,
         stem: str = "conv7",
@@ -328,13 +435,19 @@ class MultiCameraTracker:
             )
         else:
             self._parsed_step = make_mc_detect_step_from_detections(self.bank, self.kfp, cfg)
+        self.stem = stem
         if crop_params is not None:
             self._crop_step = make_crop_step(
-                crop_params, depth, self.bank, self.centers, self.kfp, cfg,
-                stem=crop_stem,
+                crop_params, crop_depth if crop_depth is not None else depth,
+                self.bank, self.centers, self.kfp, cfg,
+                stem=crop_stem, frame_stem=stem,
             )
         else:
             self._crop_step = None
+        # device-side s2d packing for raw [C,H,W,3] inputs on the s2d path
+        from playground3d_tpu.models.resnet import space_to_depth
+
+        self._pack = jax.jit(space_to_depth)
 
         self.state = init_track_state(cfg.max_tracks)
         self.ts_bias = jnp.zeros((len(self.cameras),), jnp.float32)
@@ -351,6 +464,8 @@ class MultiCameraTracker:
             np.asarray([t - self.epoch for t in times], np.float32)
         )
         frames_j = jnp.asarray(frames)
+        if self.stem == "s2d" and frames_j.shape[-1] == 3:
+            frames_j = self._pack(frames_j)
 
         if frame_num % self.cfg.det_step == 0:
             with self.timers("detect"):

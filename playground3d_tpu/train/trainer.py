@@ -144,9 +144,17 @@ class Trainer:
             if self._bad_epochs > self.cfg.plateau_patience:
                 self.lr *= self.cfg.plateau_factor
                 self._bad_epochs = 0
-        # update the injected hyperparam
-        self.state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
-            self.lr, dtype=jnp.float32
+        # rebuild the opt_state with the new injected hyperparam — mutating
+        # the hyperparams dict in place on a replicated/donated state is
+        # fragile under sharding (the donated buffer may already be reused)
+        old = self.state.opt_state.hyperparams["learning_rate"]
+        new_lr = jnp.asarray(self.lr, dtype=jnp.float32)
+        if hasattr(old, "sharding"):
+            new_lr = jax.device_put(new_lr, old.sharding)
+        hp = dict(self.state.opt_state.hyperparams)
+        hp["learning_rate"] = new_lr
+        self.state = self.state._replace(
+            opt_state=self.state.opt_state._replace(hyperparams=hp)
         )
 
     def save(self, path: str) -> None:

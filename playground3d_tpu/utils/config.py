@@ -33,6 +33,7 @@ class TrackerConfig:
     crop_expand: float = 1.25  # square crop expansion ratio (b)
     det_step: int = 1  # full-frame detection every d frames
     skip_step: int = 1  # crop re-detection every s frames
+    crop_slots: int = 0  # crop branch: max live slots cropped per step (0 = all)
     max_size: Tuple[float, float, float] = (100.0, 15.0, 15.0)  # L,W,H ft
     x_range: Tuple[float, float] = (0.0, 2000.0)
     y_range: Tuple[float, float] = (-10.0, 120.0)  # anomaly bounds on y

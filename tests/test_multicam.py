@@ -233,3 +233,127 @@ def test_merge_chain_safe():
     out = lifecycle(st, jnp.asarray(0.0), kfp, cfg)
     mask = np.asarray(out.kf.mask)
     assert mask[0] and not mask[1] and mask[2], mask[:3]
+
+
+def test_mc_clip_step_matches_sequential(toy_cameras3):
+    """The fused cadence clip (one scan, detect/crop/skip switch) must equal
+    per-frame step calls on identical s2d frames."""
+    from playground3d_tpu.models import retinanet_init
+    from playground3d_tpu.models.resnet import space_to_depth
+    from playground3d_tpu.pipeline.multi_cam import make_mc_clip_step
+    from playground3d_tpu.pipeline.tracker_state import init_track_state
+    from playground3d_tpu.track.kf import default_params
+
+    reg = toy_cameras3["registry"]
+    cameras = list(toy_cameras3["ranges"].keys())
+    from playground3d_tpu.pipeline.camera_bank import bank_from_registry
+
+    cfg = TrackerConfig(
+        max_tracks=16, max_dets=16, pre_topk=128, x_range=(320.0, 880.0),
+        f_init=1, det_step=3, skip_step=1, cd_max=8, cs=32, crop_slots=8,
+        estimate_ts_bias=True,
+    )
+    kfp = default_params()
+    bank = bank_from_registry(reg)
+    centers = jnp.asarray(toy_cameras3["centers"])
+    det_params = retinanet_init(jax.random.PRNGKey(0), depth=18, stem="s2d")
+    crop_params = retinanet_init(jax.random.PRNGKey(1), depth=18, stem="s2d")
+
+    clip = make_mc_clip_step(
+        det_params, 18, bank, centers, kfp, cfg,
+        crop_params=crop_params, crop_depth=18, stem="s2d", crop_stem="s2d",
+    )
+
+    rng = np.random.default_rng(3)
+    T, C = 6, len(cameras)
+    raw = rng.uniform(-1, 1, (T, C, 64, 96, 3)).astype(np.float32)
+    s2d = np.asarray(jax.jit(space_to_depth)(jnp.asarray(raw.reshape(T * C, 64, 96, 3)))).reshape(
+        T, C, 16, 24, 48
+    )
+    cam_times = (np.arange(T)[:, None] / 30.0 + np.zeros((1, C))).astype(np.float32)
+
+    state0 = init_track_state(cfg.max_tracks)
+    bias0 = jnp.zeros((C,), jnp.float32)
+    state_c, bias_c, snaps = clip(
+        state0, bias0, jnp.asarray(s2d), jnp.asarray(cam_times), jnp.int32(0)
+    )
+
+    # sequential reference with the same cadence
+    from playground3d_tpu.pipeline.multi_cam import make_crop_step, make_mc_detect_step
+
+    det_step = make_mc_detect_step(det_params, 18, bank, kfp, cfg, stem="s2d")
+    crop_step = make_crop_step(
+        crop_params, 18, bank, centers, kfp, cfg, stem="s2d", frame_stem="s2d"
+    )
+    state, bias = state0, bias0
+    seq_snaps = []
+    for i in range(T):
+        f = jnp.asarray(s2d[i])
+        t = jnp.asarray(cam_times[i])
+        if i % cfg.det_step == 0:
+            state, snap, bias = det_step(state, f, t, bias)
+        else:
+            state, snap = crop_step(state, f, t, bias)
+        seq_snaps.append(snap)
+
+    np.testing.assert_allclose(
+        np.asarray(snaps.states7), np.stack([np.asarray(s.states7) for s in seq_snaps]),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(snaps.raw_mask), np.stack([np.asarray(s.raw_mask) for s in seq_snaps])
+    )
+    np.testing.assert_allclose(np.asarray(bias_c), np.asarray(bias), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(state_c.kf.x), np.asarray(state.kf.x), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_crop_slots_subset_updates_only_selected(toy_cameras3):
+    """With crop_slots < live tracks, only the oldest live slots get crop
+    measurement updates; others keep their fsld and t_off."""
+    from playground3d_tpu.models import retinanet_init
+    from playground3d_tpu.pipeline.camera_bank import bank_from_registry
+    from playground3d_tpu.pipeline.multi_cam import make_crop_step
+    from playground3d_tpu.pipeline.tracker_state import init_track_state
+    from playground3d_tpu.track.kf import default_params
+
+    reg = toy_cameras3["registry"]
+    cfg = TrackerConfig(
+        max_tracks=8, x_range=(320.0, 880.0), cd_max=4, cs=32, crop_slots=2,
+        sigma_c=2.0,  # force "no good detection" so fsld increments
+    )
+    kfp = default_params()
+    bank = bank_from_registry(reg)
+    centers = jnp.asarray(toy_cameras3["centers"])
+    crop_params = retinanet_init(jax.random.PRNGKey(1), depth=18, stem="s2d")
+    step = make_crop_step(
+        crop_params, 18, bank, centers, kfp, cfg, stem="s2d", frame_stem="s2d"
+    )
+
+    state = init_track_state(cfg.max_tracks)
+    # hand-place 4 live tracks with distinct ages
+    x = np.zeros((8, 6), np.float32)
+    x[:4, 0] = [500.0, 520.0, 540.0, 560.0]
+    x[:4, 1] = 60.0
+    x[:4, 2:5] = [18, 6, 5]
+    mask = np.zeros(8, bool)
+    mask[:4] = True
+    age = np.array([5, 1, 9, 2, 0, 0, 0, 0], np.int32)
+    state = state._replace(
+        kf=state.kf._replace(
+            x=jnp.asarray(x), mask=jnp.asarray(mask),
+            d=jnp.asarray(np.ones(8, np.float32)),
+        ),
+        age=jnp.asarray(age),
+        ids=jnp.asarray(np.arange(8, dtype=np.int32)),
+    )
+    frames = jnp.asarray(np.zeros((3, 16, 24, 48), np.float32))
+    times = jnp.zeros((3,), jnp.float32)
+    bias = jnp.zeros((3,), jnp.float32)
+    state2, _ = step(state, frames, times, bias)
+    fsld = np.asarray(state2.fsld)
+    # oldest two live slots (ages 9 and 5 -> slots 2 and 0) attempted: fsld+1
+    assert fsld[2] == 1 and fsld[0] == 1
+    # unattempted live slots unchanged
+    assert fsld[1] == 0 and fsld[3] == 0
