@@ -84,6 +84,7 @@ class MOTEvaluator:
         P: np.ndarray,
         match_iou: float = 0.0,
         cutoff_frame: int = 10000,
+        camera: Optional[str] = None,
     ):
         self.H = np.asarray(H, np.float64)
         self.P = np.asarray(P, np.float64)
@@ -91,6 +92,19 @@ class MOTEvaluator:
         self.cutoff_frame = cutoff_frame
         _, self.gt = load_i24_csv(gt_path)
         _, self.pred = load_i24_csv(pred_path)
+        if camera is not None:
+            # evaluate a single camera's rows (column 36; multi-camera GT
+            # files interleave cameras per frame)
+            def keep(d):
+                out = {}
+                for f, rows in d.items():
+                    rows = [r for r in rows if len(r) > 36 and r[36].strip() == camera]
+                    if rows:
+                        out[f] = rows
+                return out
+
+            self.gt = keep(self.gt)
+            self.pred = keep(self.pred)
         self.m = MOTAccumulator()
         self.metrics: Optional[dict] = None
 

@@ -151,3 +151,192 @@ def test_mot_evaluator_detects_errors(tmp_path, camera_geom):
     assert metrics["FN"] >= 20  # one missing object over 20 frames
     assert metrics["Recall"] < 1.0
     assert 0.1 < metrics["X precision"][0] < 2.0  # noise shows up in ft
+
+
+class TestRefInterop:
+    """Reference-artifact interop: pickle converters + CSV camera refit +
+    evaluator re-scoring of the committed reference CSVs."""
+
+    def _fake_reference_pickle(self, tmp_path, wrapper=False):
+        """Build a pickle shaped exactly like the reference's Homography /
+        Homography_Wrapper (homography.py:336-380, 816-827) without
+        importing reference code: stub modules registered in sys.modules."""
+        import pickle
+        import sys
+        import types
+
+        mod = types.ModuleType("homography")
+
+        class Homography:
+            pass
+
+        class Homography_Wrapper:
+            pass
+
+        mod.Homography = Homography
+        mod.Homography_Wrapper = Homography_Wrapper
+        Homography.__module__ = "homography"
+        Homography.__qualname__ = "Homography"
+        Homography_Wrapper.__module__ = "homography"
+        Homography_Wrapper.__qualname__ = "Homography_Wrapper"
+        sys.modules["homography"] = mod
+        try:
+            rng = np.random.default_rng(0)
+            H = rng.normal(0, 1, (3, 3))
+            H_inv = np.linalg.inv(H)
+            vps = rng.normal(500, 100, (3, 2))
+            P = np.zeros((3, 4))
+            P[:, 0] = H_inv[:, 0]
+            P[:, 1] = H_inv[:, 1]
+            P[:, 3] = H_inv[:, 2]
+            P[:, 2] = np.array([vps[2][0], vps[2][1], 1]) * 0.01
+            cor = {"H": H, "H_inv": H_inv, "P": P, "vps": vps,
+                   "corr_pts": rng.normal(0, 1, (8, 2)), "space_pts": rng.normal(0, 1, (8, 2))}
+            hg = Homography()
+            hg.correspondence = {"p1c1": cor}
+            obj = hg
+            if wrapper:
+                hg2 = Homography()
+                cor2 = dict(cor)
+                cor2["H"] = H * 2.0
+                hg2.correspondence = {"p1c1": cor2}
+                w = Homography_Wrapper()
+                w.hg1, w.hg2 = hg, hg2
+                obj = w
+            p = str(tmp_path / ("w.cpkl" if wrapper else "h.cpkl"))
+            with open(p, "wb") as f:
+                pickle.dump(obj, f)
+            return p, H, P
+        finally:
+            del sys.modules["homography"]
+
+    def test_registry_from_reference_pickle(self, tmp_path):
+        from playground3d_tpu.tools.ref_interop import registry_from_reference_pickle
+
+        p, H, P = self._fake_reference_pickle(tmp_path)
+        reg = registry_from_reference_pickle(p)
+        c = reg.index("p1c1")
+        np.testing.assert_allclose(reg.H[c, 0], H)
+        np.testing.assert_allclose(reg.H[c, 1], H)  # "both" banks
+        np.testing.assert_allclose(reg.P[c, 0], P)
+
+    def test_registry_from_wrapper_pickle(self, tmp_path):
+        from playground3d_tpu.tools.ref_interop import registry_from_reference_pickle
+
+        p, H, P = self._fake_reference_pickle(tmp_path, wrapper=True)
+        reg = registry_from_reference_pickle(p)
+        c = reg.index("p1c1")
+        np.testing.assert_allclose(reg.H[c, 0], H)
+        np.testing.assert_allclose(reg.H[c, 1], H * 2.0)  # WB bank differs
+
+    def test_kf_params_from_reference_pickle(self, tmp_path):
+        import pickle
+
+        import torch
+
+        from playground3d_tpu.tools.ref_interop import kf_params_from_reference_pickle
+
+        init = {
+            "P": torch.eye(6) * 7.0,
+            "Q": torch.eye(6) * 0.3,
+            "R": torch.eye(5) * 0.2,
+            "F": torch.eye(6),
+            "H": torch.zeros(5, 6),
+            "mu_Q": torch.zeros(6),
+            "mu_R": torch.ones(5) * 0.1,
+            "mu_v": torch.tensor(93.0),
+        }
+        p = str(tmp_path / "kf_params_save2.cpkl")
+        with open(p, "wb") as f:
+            pickle.dump(init, f)
+        kfp = kf_params_from_reference_pickle(p)
+        np.testing.assert_allclose(np.asarray(kfp.P0), np.eye(6) * 7.0)
+        np.testing.assert_allclose(np.asarray(kfp.Q), np.eye(6) * 0.3)
+        np.testing.assert_allclose(np.asarray(kfp.mu_R), np.full(5, 0.1))
+        assert float(kfp.mu_v) == 93.0
+        # optional models absent -> defaults kept
+        assert np.asarray(kfp.R2).shape == (5, 5)
+
+    def test_restricted_unpickler_blocks_code(self, tmp_path):
+        """Reference classes become inert shells; nothing from the pickle's
+        module namespace executes."""
+        import pickle
+        import sys
+        import types
+
+        mod = types.ModuleType("evil_ref")
+
+        class Boom:
+            def __setstate__(self, state):
+                raise RuntimeError("reference code executed!")
+
+        Boom.__module__ = "evil_ref"
+        Boom.__qualname__ = "Boom"
+        mod.Boom = Boom
+        sys.modules["evil_ref"] = mod
+        try:
+            b = Boom.__new__(Boom)
+            b.__dict__["x"] = 1
+            p = str(tmp_path / "evil.pkl")
+            with open(p, "wb") as f:
+                pickle.dump(b, f)
+        finally:
+            del sys.modules["evil_ref"]
+        from playground3d_tpu.tools.ref_interop import load_reference_pickle
+
+        obj = load_reference_pickle(p)
+        assert obj.x == 1 and type(obj).__name__ == "Boom"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CSV), reason="reference not mounted")
+class TestReferenceRescore:
+    """Stability lock: our evaluator's numbers on the committed reference
+    CSVs (documented in docs/REF_PARITY.md)."""
+
+    GT = "/root/reference/working_3D_tracking_data.csv"
+    PRED = "/root/reference/3D_tracking_results.csv"
+
+    def _camera(self):
+        from playground3d_tpu.tools.ref_interop import fit_camera_from_tracking_csv
+
+        reg = fit_camera_from_tracking_csv(self.GT, "p1c1")
+        c = reg.index("p1c1")
+        return reg.H[c, 0], reg.P[c, 0]
+
+    def test_csv_camera_refit_is_exact(self):
+        from playground3d_tpu.evaluation.csv_io import load_i24_csv
+
+        H, _ = self._camera()
+        _, data = load_i24_csv(self.GT)
+        for rows in data.values():
+            for row in rows:
+                if row[36].strip() != "p1c1":
+                    continue
+                imc = np.array([float(v) for v in row[11:27]]).reshape(8, 2)
+                spc = np.array([float(v) for v in row[27:35]]).reshape(4, 2)
+                pts = np.concatenate([imc[:4], np.ones((4, 1))], 1) @ H.T
+                np.testing.assert_allclose(pts[:, :2] / pts[:, 2:], spc, atol=1e-5)
+
+    def test_self_consistency_perfect(self):
+        from playground3d_tpu.evaluation.mot import MOTEvaluator
+
+        H, P = self._camera()
+        m = MOTEvaluator(
+            self.PRED, self.PRED, H, P, match_iou=0.2, cutoff_frame=170, camera="p1c1"
+        ).evaluate()
+        assert m["Recall"] == 1.0 and m["Precision"] == 1.0
+        assert m["ID switches"] == 0 and m["MOTA"] == 1.0
+
+    def test_cross_file_metrics_stable(self):
+        from playground3d_tpu.evaluation.mot import MOTEvaluator
+
+        H, P = self._camera()
+        m = MOTEvaluator(
+            self.GT, self.PRED, H, P, match_iou=0.2, cutoff_frame=170, camera="p1c1"
+        ).evaluate()
+        # committed in docs/REF_PARITY.md: different homography fits between
+        # the two artifacts put the single GT vehicle below the IoU gate
+        assert m["TP"] == 0 and m["FN"] == 16
+        assert m["FP @ 0.2"] == 108
+        assert m["True unique objects"] == 1
+        assert m["Predicted unique objects"] == 34
