@@ -156,8 +156,20 @@ class SyntheticDetectionDataset:
         crop_size: int = 112,
         zoom: float = 1.0,
         output_dtype: str = "float32",
+        ignore_polygon=None,
     ):
         self.image_shape = image_shape
+        # per-camera ignore region (reference ignored_regions/*.csv,
+        # corrected_3D_dataset.py:53-63): pixels inside are blacked out and
+        # labels centered inside are dropped
+        self.ignore_polygon = ignore_polygon
+        self._ignore_mask = None
+        if ignore_polygon is not None:
+            from playground3d_tpu.data.regions import polygon_mask
+
+            self._ignore_mask = polygon_mask(
+                np.asarray(ignore_polygon), image_shape[0], image_shape[1]
+            )
         # "uint8": emit raw uint8 frames (normalize on device via
         # models.retinanet.normalize_on_device) — 4x less host->device
         # transfer than normalized float32
@@ -260,6 +272,18 @@ class SyntheticDetectionDataset:
             scene, t, self._P, height=h, width=w, rng=self.rng,
             normalized=self.output_dtype != "uint8",
         )
+        if self._ignore_mask is not None:
+            frame = frame.copy()
+            frame[self._ignore_mask] = 0.0
+            if len(labels) > 0:
+                cx = (labels[:, 16] + labels[:, 18]) / 2
+                cy = (labels[:, 17] + labels[:, 19]) / 2
+                from playground3d_tpu.data.regions import points_in_polygon
+
+                inside = points_in_polygon(
+                    np.stack([cx, cy], 1), np.asarray(self.ignore_polygon)
+                )
+                labels = labels[~inside]
         if self.crop_mode:
             if len(labels) > 0:
                 frame, labels = self._crop_around_object(frame, labels)

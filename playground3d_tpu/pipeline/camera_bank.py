@@ -22,11 +22,39 @@ from playground3d_tpu.utils.constants import EB_WB_Y_SPLIT_FT
 class CameraBank(NamedTuple):
     H: jnp.ndarray  # [C,2,3,3]  image->space; bank 0 EB, 1 WB
     P: jnp.ndarray  # [C,2,3,4]  space->image
+    # optional per-camera ignore-region grid (reference ignored_regions/*,
+    # corrected_3D_dataset.py:53-63): [C,GH,GW] bool, cell size ignore_cell px
+    ignore: jnp.ndarray = None
+    ignore_cell: float = 8.0
 
 
-def bank_from_registry(registry) -> CameraBank:
+def bank_from_registry(registry, ignore_polygons=None, image_hw=(1080, 1920), ignore_cell=8) -> CameraBank:
     arrs = registry.device_arrays(np.float32)
-    return CameraBank(H=jnp.asarray(arrs["H"]), P=jnp.asarray(arrs["P"]))
+    ignore = None
+    if ignore_polygons:
+        from playground3d_tpu.data.regions import ignore_grid
+
+        ignore = jnp.asarray(
+            ignore_grid(
+                ignore_polygons, registry.names, image_hw[0], image_hw[1], ignore_cell
+            )
+        )
+    return CameraBank(
+        H=jnp.asarray(arrs["H"]), P=jnp.asarray(arrs["P"]),
+        ignore=ignore, ignore_cell=float(ignore_cell),
+    )
+
+
+def ignore_hits(bank: CameraBank, centers_px: jnp.ndarray, cam_idx: jnp.ndarray) -> jnp.ndarray:
+    """[n,2] box centers (px) + [n] camera indices -> bool [n]: True where
+    the center falls in the camera's ignored region. All-False without a
+    grid."""
+    if bank.ignore is None:
+        return jnp.zeros(centers_px.shape[0], bool)
+    gh, gw = bank.ignore.shape[1], bank.ignore.shape[2]
+    cx = jnp.clip((centers_px[:, 0] / bank.ignore_cell).astype(jnp.int32), 0, gw - 1)
+    cy = jnp.clip((centers_px[:, 1] / bank.ignore_cell).astype(jnp.int32), 0, gh - 1)
+    return bank.ignore[cam_idx, cy, cx]
 
 
 def im_to_state_banked(

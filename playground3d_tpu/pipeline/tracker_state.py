@@ -128,6 +128,16 @@ def parse_detections_pre(
     corners = det.boxes[:, :16].reshape(K, 8, 2)
     hulls = T.im_hull_xyxy(corners)
 
+    # drop detections whose box center falls in the camera's ignored region
+    # (reference ignored_regions/*.csv, corrected_3D_dataset.py:53-63)
+    if bank.ignore is not None:
+        from playground3d_tpu.pipeline.camera_bank import ignore_hits
+
+        centers = jnp.stack(
+            [(hulls[:, 0] + hulls[:, 2]) / 2, (hulls[:, 1] + hulls[:, 3]) / 2], axis=1
+        )
+        keep = keep & ~ignore_hits(bank, centers, det.cam_idx)
+
     # image-space NMS within each camera (groups = camera index)
     idx1, mask1 = batched_nms(
         hulls, det.scores, det.cam_idx, keep, cfg.phi_nms_im, max_keep=K

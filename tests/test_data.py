@@ -169,3 +169,108 @@ def test_resize_frame_box_and_bilinear():
     assert odd.shape == (30, 40, 3)
     const = resize_frame(np.full((64, 96, 3), 200, np.uint8), (30, 40))
     assert np.all(const == 200)
+
+
+class TestIgnoreRegions:
+    """Per-camera ignore polygons (reference ignored_regions/*.csv,
+    corrected_3D_dataset.py:53-63,109)."""
+
+    def test_points_in_polygon(self):
+        from playground3d_tpu.data.regions import points_in_polygon
+
+        square = np.array([[10, 10], [30, 10], [30, 30], [10, 30]], float)
+        pts = np.array([[20, 20], [5, 20], [30.5, 20], [10.5, 10.5], [20, 35]])
+        got = points_in_polygon(pts, square)
+        np.testing.assert_array_equal(got, [True, False, False, True, False])
+
+    def test_blackout_and_mask(self):
+        from playground3d_tpu.data.regions import blackout, polygon_mask
+
+        tri = np.array([[0, 0], [40, 0], [0, 40]], float)
+        frame = np.ones((48, 48, 3), np.float32)
+        out = blackout(frame, tri)
+        mask = polygon_mask(tri, 48, 48)
+        assert mask[5, 5] and not mask[40, 40]
+        assert np.all(out[mask] == 0) and np.all(out[~mask] == 1)
+        assert np.all(frame == 1)  # copy, not in-place
+
+    def test_reference_polygons_parse(self):
+        import os
+
+        from playground3d_tpu.data.regions import load_ignore_regions
+
+        d = "/root/reference/ignored_regions"
+        if not os.path.isdir(d):
+            import pytest
+
+            pytest.skip("reference not mounted")
+        regions = load_ignore_regions(d)
+        assert "p1c1" in regions and len(regions) >= 10
+        assert regions["p1c1"].shape == (4, 2)
+        np.testing.assert_allclose(regions["p1c1"][0], [337, 446])
+
+    def test_parse_drops_detections_in_region(self, toy_camera):
+        """A detection whose box center lies inside the camera's ignore
+        polygon is suppressed at parse time."""
+        import jax.numpy as jnp
+
+        from playground3d_tpu.models.retinanet import Detections
+        from playground3d_tpu.pipeline.camera_bank import bank_from_registry
+        from playground3d_tpu.pipeline.tracker_state import parse_detections_pre
+        from playground3d_tpu.utils.config import TrackerConfig
+
+        reg = toy_camera["registry"]
+        cfg = TrackerConfig(x_range=(300, 900))
+
+        # two far-apart detections in pixel space; polygon covers the first
+        def box20(cx, cy, s=60.0):
+            b = np.zeros(20, np.float32)
+            corners = np.array(
+                [[cx - s, cy - s], [cx + s, cy - s], [cx - s, cy], [cx + s, cy],
+                 [cx - s, cy + s], [cx + s, cy + s], [cx - s, cy + s / 2], [cx + s, cy + s / 2]],
+                np.float32,
+            )
+            b[:16] = corners.ravel()
+            b[16:20] = [cx - s, cy - s, cx + s, cy + s]
+            return b
+
+        K = 8
+        boxes = np.zeros((K, 20), np.float32)
+        boxes[0] = box20(200.0, 200.0)
+        boxes[1] = box20(1200.0, 700.0)
+        poly = np.array([[100, 100], [300, 100], [300, 300], [100, 300]], float)
+
+        det = Detections(
+            scores=jnp.asarray(np.array([0.9, 0.8] + [0.0] * 6, np.float32)),
+            classes=jnp.zeros(K, jnp.int32),
+            boxes=jnp.asarray(boxes),
+            cam_idx=jnp.zeros(K, jnp.int32),
+            mask=jnp.asarray(np.array([True, True] + [False] * 6)),
+        )
+        times = jnp.zeros((1,), jnp.float32)
+
+        bank_plain = bank_from_registry(reg)
+        parsed = parse_detections_pre(det, bank_plain, times, cfg)
+        assert int(np.asarray(parsed.mask).sum()) == 2
+
+        bank_ign = bank_from_registry(reg, ignore_polygons={"p1c1": poly})
+        parsed2 = parse_detections_pre(det, bank_ign, times, cfg)
+        m2 = np.asarray(parsed2.mask)
+        assert int(m2.sum()) == 1
+        # the survivor is the detection OUTSIDE the polygon (score 0.8)
+        assert abs(float(np.asarray(parsed2.scores)[m2][0]) - 0.8) < 1e-6
+
+    def test_dataset_blackout_drops_covered_labels(self):
+        from playground3d_tpu.data.dataset import SyntheticDetectionDataset
+
+        h, w = 128, 192
+        full = np.array([[0, 0], [w, 0], [w, h], [0, h]], float)
+        ds_plain = SyntheticDetectionDataset(image_shape=(h, w), n_objects=6, seed=3, augment=False)
+        ds_ign = SyntheticDetectionDataset(
+            image_shape=(h, w), n_objects=6, seed=3, augment=False, ignore_polygon=full
+        )
+        f1, l1 = ds_plain.sample()
+        f2, l2 = ds_ign.sample()
+        assert np.any(l1[:, 20] >= 0)  # plain sample has labels
+        assert np.all(f2 <= 0.0 + 1e-6) or np.all(f2 == 0)  # frame blacked
+        assert np.all(l2[:, 20] == -1)  # all labels dropped
