@@ -327,6 +327,7 @@ def make_mc_clip_step(
     crop_depth: Optional[int] = None,
     stem: str = "s2d",
     crop_stem: str = "s2d",
+    mesh=None,
 ):
     """Fused multi-camera clip tracker with detection cadence: ONE device
     call advances T frames, running the full-frame detect branch on frames
@@ -334,6 +335,12 @@ def make_mc_clip_step(
     where ``i % cfg.skip_step == 0``, and a passthrough snapshot otherwise —
     the reference's ``track()`` cadence loop (MC3D_crop_tracker.py:1051-1254)
     as a single ``lax.scan`` with a 3-way ``lax.switch`` per step.
+
+    With a ``mesh``, the CAMERA axis of the frame stack is sharded over the
+    mesh's 'data' axis (SURVEY §2c: the reference's per-GPU tracker placement
+    becomes one camera pool shard per chip); detector forwards run sharded
+    and XLA inserts the cross-device gathers at the fusion stage. Tracker
+    state and parameters are replicated.
 
     Returns jitted (state, ts_bias, frames [T,C,...], cam_times [T,C],
     frame0 scalar) -> (state', ts_bias', snapshots stacked over T).
@@ -385,7 +392,25 @@ def make_mc_clip_step(
         (state2, tb2), snaps = jax.lax.scan(body, (state, ts_bias), (frames, cam_times, fidx))
         return state2, tb2, snaps
 
-    return clip
+    if mesh is None:
+        return clip
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cam_sh = NamedSharding(mesh, P(None, "data"))  # [T, C_sharded, ...]
+    repl = NamedSharding(mesh, P())
+    sharded = jax.jit(
+        clip.__wrapped__ if hasattr(clip, "__wrapped__") else clip,
+        in_shardings=(repl, repl, cam_sh, repl, repl),
+        out_shardings=(repl, repl, repl),
+    )
+
+    def run(state, ts_bias, frames, cam_times, frame0):
+        return sharded(
+            state, ts_bias, frames, jnp.asarray(cam_times), jnp.asarray(frame0, jnp.int32)
+        )
+
+    return run
 
 
 class MultiCameraTracker:
@@ -436,6 +461,12 @@ class MultiCameraTracker:
         else:
             self._parsed_step = make_mc_detect_step_from_detections(self.bank, self.kfp, cfg)
         self.stem = stem
+        self.crop_stem = crop_stem
+        self.depth = depth
+        self.crop_depth = crop_depth
+        self._det_params = det_params
+        self._crop_params = crop_params
+        self._clip_cache = {}
         if crop_params is not None:
             self._crop_step = make_crop_step(
                 crop_params, crop_depth if crop_depth is not None else depth,
@@ -505,19 +536,16 @@ class MultiCameraTracker:
             self.ts_bias_log.append(np.asarray(self.ts_bias))
         return snap
 
-    def track(self, sources: List[Iterable], cutoff: int = 10**9, sync_ms: float = 20.0):
-        """Pull frames from per-camera sources with time synchronization:
+    def _synced_frames(self, sources: List[Iterable], cutoff: int, sync_ms: float):
+        """Yield (frames [C,H,W,3], times [C]) with time synchronization:
         cameras lagging the latest timestamp by >= sync_ms skip frames
         (MC3D time_sync_cameras:219-235)."""
         iters = [iter(s) for s in sources]
-        start = time.time()
-        n = 0
-        cur = []
         try:
             cur = [next(it) for it in iters]
         except StopIteration:
-            return {"frames": 0, "fps": 0.0}
-        for frame_num in range(cutoff):
+            return
+        for _ in range(cutoff):
             times = [c[1] for c in cur]
             latest = max(times)
             try:
@@ -525,14 +553,130 @@ class MultiCameraTracker:
                     while latest - cur[i][1] >= sync_ms / 1000.0:
                         cur[i] = next(iters[i])
             except StopIteration:
-                break
-            frames = np.stack([c[0] for c in cur])
-            self.process(frames, [c[1] for c in cur], frame_num)
-            n += 1
+                return
+            yield np.stack([c[0] for c in cur]), [c[1] for c in cur]
             try:
                 cur = [next(it) for it in iters]
             except StopIteration:
+                return
+
+    def track(self, sources: List[Iterable], cutoff: int = 10**9, sync_ms: float = 20.0):
+        """Per-frame host loop (one device call per frame)."""
+        start = time.time()
+        n = 0
+        for frame_num, (frames, times) in enumerate(
+            self._synced_frames(sources, cutoff, sync_ms)
+        ):
+            self.process(frames, times, frame_num)
+            n += 1
+        wall = time.time() - start
+        return {"frames": n, "fps": n / max(wall, 1e-9), **self.timers.totals()}
+
+    def _clip_fn(self, mesh=None):
+        key = id(mesh) if mesh is not None else None
+        if key not in self._clip_cache:
+            assert self._det_params is not None, "clip mode needs det_params"
+            self._clip_cache[key] = make_mc_clip_step(
+                self._det_params, self.depth, self.bank, self.centers, self.kfp,
+                self.cfg, crop_params=self._crop_params, crop_depth=self.crop_depth,
+                stem=self.stem, crop_stem=self.crop_stem, mesh=mesh,
+            )
+        return self._clip_cache[key]
+
+    def track_clips(
+        self,
+        sources: List[Iterable],
+        clip_len: int = 24,
+        cutoff: int = 10**9,
+        sync_ms: float = 20.0,
+        mesh=None,
+    ):
+        """Clip-scan host loop: ONE device call per ``clip_len`` frames, with
+        the next clip staged (packed + device_put, camera-sharded when a mesh
+        is given) by a background thread while the device advances the
+        current one — the double-buffered replacement for the reference's
+        per-frame queue pulls (MC3D_crop_tracker.py:197-218)."""
+        import queue as _queue
+        import threading
+
+        clip = self._clip_fn(mesh)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            frames_sh = NamedSharding(mesh, P(None, "data"))
+        else:
+            frames_sh = None
+
+        def stage(batch_np, times_np):
+            fj = jnp.asarray(batch_np)
+            if self.stem == "s2d" and fj.shape[-1] == 3:
+                t, c = fj.shape[0], fj.shape[1]
+                fj = self._pack(fj.reshape((t * c,) + fj.shape[2:]))
+                fj = fj.reshape((t, c) + fj.shape[1:])
+            if frames_sh is not None:
+                fj = jax.device_put(fj, frames_sh)
+            return fj, jnp.asarray(times_np)
+
+        q: _queue.Queue = _queue.Queue(maxsize=2)
+        DONE = object()
+
+        def producer():
+            buf_f, buf_t = [], []
+            frame0 = 0
+            try:
+                for frames, times in self._synced_frames(sources, cutoff, sync_ms):
+                    if self.epoch is None:
+                        self.epoch = float(min(times))
+                    buf_f.append(frames)
+                    buf_t.append([t - self.epoch for t in times])
+                    if len(buf_f) == clip_len:
+                        q.put(
+                            (stage(np.stack(buf_f), np.asarray(buf_t, np.float32)), frame0)
+                        )
+                        frame0 += clip_len
+                        buf_f, buf_t = [], []
+                if buf_f:
+                    q.put(
+                        (stage(np.stack(buf_f), np.asarray(buf_t, np.float32)), frame0)
+                    )
+            finally:
+                q.put(DONE)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+
+        start = time.time()
+        n = 0
+        while True:
+            item = q.get()
+            if item is DONE:
                 break
+            (fj, tj), frame0 = item
+            with self.timers("detect"):
+                self.state, self.ts_bias, snaps = clip(
+                    self.state, self.ts_bias, fj, tj, jnp.asarray(frame0, jnp.int32)
+                )
+                jax.block_until_ready(snaps.states7)
+            with self.timers("drain"):
+                ids = np.asarray(snaps.ids)
+                mask = np.asarray(snaps.raw_mask)
+                states = np.asarray(snaps.states7)
+                classes = np.asarray(snaps.classes)
+                ts = np.asarray(snaps.t)
+                bias_now = np.asarray(self.ts_bias)
+                for k in range(ids.shape[0]):
+                    self.rows.append(
+                        (
+                            frame0 + k,
+                            float(self.epoch + float(ts[k])),
+                            ids[k][mask[k]],
+                            states[k][mask[k]],
+                            classes[k][mask[k]],
+                        )
+                    )
+                    self.ts_bias_log.append(bias_now)
+                n += ids.shape[0]
+        thread.join(timeout=10)
         wall = time.time() - start
         return {"frames": n, "fps": n / max(wall, 1e-9), **self.timers.totals()}
 

@@ -357,3 +357,98 @@ def test_crop_slots_subset_updates_only_selected(toy_cameras3):
     assert fsld[2] == 1 and fsld[0] == 1
     # unattempted live slots unchanged
     assert fsld[1] == 0 and fsld[3] == 0
+
+
+def test_mc_clip_camera_sharded_matches_unsharded(toy_cameras3):
+    """Camera-axis sharding over a device mesh (SURVEY section 2c) must not
+    change results: the same clip advanced sharded vs unsharded."""
+    import jax
+    from playground3d_tpu.models import retinanet_init
+    from playground3d_tpu.models.resnet import space_to_depth
+    from playground3d_tpu.parallel.mesh import make_mesh
+    from playground3d_tpu.pipeline.camera_bank import bank_from_registry
+    from playground3d_tpu.pipeline.multi_cam import make_mc_clip_step
+    from playground3d_tpu.pipeline.tracker_state import init_track_state
+    from playground3d_tpu.track.kf import default_params
+
+    reg = toy_cameras3["registry"]
+    # 3 cameras -> pad the camera axis to 4 by reusing the first camera? No:
+    # shard 3 cameras over a 3-device mesh (8 virtual devices available)
+    mesh = make_mesh(3)
+    cfg = TrackerConfig(
+        max_tracks=16, max_dets=16, pre_topk=128, x_range=(320.0, 880.0),
+        f_init=1, det_step=2, skip_step=1, cd_max=8, cs=32, crop_slots=8,
+    )
+    kfp = default_params()
+    bank = bank_from_registry(reg)
+    centers = jnp.asarray(toy_cameras3["centers"])
+    det_params = retinanet_init(jax.random.PRNGKey(0), depth=18, stem="s2d")
+    crop_params = retinanet_init(jax.random.PRNGKey(1), depth=18, stem="s2d")
+
+    kw = dict(crop_params=crop_params, crop_depth=18, stem="s2d", crop_stem="s2d")
+    clip_plain = make_mc_clip_step(det_params, 18, bank, centers, kfp, cfg, **kw)
+    clip_mesh = make_mc_clip_step(det_params, 18, bank, centers, kfp, cfg, mesh=mesh, **kw)
+
+    rng = np.random.default_rng(5)
+    T, C = 4, 3
+    raw = rng.uniform(-1, 1, (T * C, 64, 96, 3)).astype(np.float32)
+    s2d = np.asarray(jax.jit(space_to_depth)(jnp.asarray(raw))).reshape(T, C, 16, 24, 48)
+    cam_times = (np.arange(T)[:, None] / 30.0 + np.zeros((1, C))).astype(np.float32)
+
+    state0 = init_track_state(cfg.max_tracks)
+    bias0 = jnp.zeros((C,), jnp.float32)
+    s1, b1, snaps1 = clip_plain(
+        state0, bias0, jnp.asarray(s2d), jnp.asarray(cam_times), jnp.int32(0)
+    )
+    s2, b2, snaps2 = clip_mesh(state0, bias0, jnp.asarray(s2d), cam_times, 0)
+
+    np.testing.assert_array_equal(np.asarray(snaps1.raw_mask), np.asarray(snaps2.raw_mask))
+    np.testing.assert_allclose(
+        np.asarray(snaps1.states7), np.asarray(snaps2.states7), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(s1.kf.x), np.asarray(s2.kf.x), rtol=1e-4, atol=1e-4)
+
+
+def test_track_clips_driver_matches_per_frame(toy_cameras3):
+    """The double-buffered clip host loop produces the same rows as the
+    per-frame process() loop (d=1, identical frames)."""
+    import jax
+    from playground3d_tpu.models import retinanet_init
+
+    reg = toy_cameras3["registry"]
+    cameras = list(toy_cameras3["ranges"].keys())
+    cfg = TrackerConfig(
+        max_tracks=16, max_dets=16, pre_topk=128, x_range=(320.0, 880.0),
+        f_init=1, det_step=1, skip_step=1, estimate_ts_bias=False,
+    )
+    det_params = retinanet_init(jax.random.PRNGKey(0), depth=18, stem="s2d")
+
+    def mk_tracker():
+        return MultiCameraTracker(
+            reg, cameras, cfg=cfg, det_params=det_params, depth=18,
+            centers=toy_cameras3["centers"], stem="s2d",
+        )
+
+    n_frames = 5
+    rng = np.random.default_rng(9)
+    frames_all = rng.uniform(-1, 1, (n_frames, 3, 64, 96, 3)).astype(np.float32)
+
+    def sources():
+        out = []
+        for ci in range(3):
+            def gen(ci=ci):
+                for f in range(n_frames):
+                    yield frames_all[f, ci], 1.6e9 + f / 30.0
+            out.append(gen())
+        return out
+
+    t1 = mk_tracker()
+    t1.track(sources())
+    t2 = mk_tracker()
+    stats = t2.track_clips(sources(), clip_len=3)
+    assert stats["frames"] == n_frames
+    assert len(t1.rows) == len(t2.rows)
+    for r1, r2 in zip(t1.rows, t2.rows):
+        assert r1[0] == r2[0]
+        np.testing.assert_array_equal(r1[2], r2[2])
+        np.testing.assert_allclose(r1[3], r2[3], rtol=1e-4, atol=1e-4)
