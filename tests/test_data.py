@@ -274,3 +274,108 @@ class TestIgnoreRegions:
         assert np.any(l1[:, 20] >= 0)  # plain sample has labels
         assert np.all(f2 <= 0.0 + 1e-6) or np.all(f2 == 0)  # frame blacked
         assert np.all(l2[:, 20] == -1)  # all labels dropped
+
+
+class TestSessionConfig:
+    """Recording-session config utilities (reference
+    timestamp_utilities.py:118-333)."""
+
+    def _make_session(self, tmp_path, n_cams=2, n_segs=3):
+        import os
+
+        root = tmp_path / "session"
+        root.mkdir()
+        (root / "_SESSION_CONFIG.config").write_text(
+            "# ingest session\n"
+            "__CAMERA__\n"
+            "name == p1c1\n"
+            "rtsp == rtsp://10.0.0.1/stream\n"
+            "__CAMERA__\n"
+            "name == p1c2\n"
+            "rtsp == rtsp://10.0.0.2/stream\n"
+            "__PERSISTENT-RECORDING__\n"
+            "recording_filename == ./recording/record_{cam_name}_{session_num}_%05d.mp4\n"
+            "segment_duration == 15\n"
+        )
+        (root / "_SESSION_INFO.txt").write_text(
+            "SESSION #4\n"
+            "Session initialization time (local): 2021-06-16 15:58:08.770000\n"
+            "Recording segment duration: 15.0\n"
+        )
+        rec = root / "recording"
+        rec.mkdir()
+        for cam in ["p1c1", "p1c2"][:n_cams]:
+            for seg in range(n_segs):
+                (rec / f"record_{cam}_4_{seg:05d}.mp4").write_bytes(b"x")
+        logs = root / "logs"
+        logs.mkdir()
+        (logs / "manager-2021-06-16.log").write_text("ok")
+        (logs / "other.txt").write_text("no")
+        return str(root)
+
+    def test_parse_config_file(self, tmp_path):
+        from playground3d_tpu.data.session import parse_config_file
+
+        root = self._make_session(tmp_path)
+        cams, img, vid, rec = parse_config_file(root + "/_SESSION_CONFIG.config")
+        assert len(cams) == 2 and cams[0]["name"] == "p1c1"
+        assert cams[1]["rtsp"].endswith("0.2/stream")
+        assert rec["segment_duration"] == "15"
+        assert img == [] and vid == []
+
+    def test_parse_config_rejects_garbage(self, tmp_path):
+        from playground3d_tpu.data.session import parse_config_file
+
+        p = tmp_path / "bad.config"
+        p.write_text("__CAMERA__\nnot a key value\n")
+        with pytest.raises(AttributeError):
+            parse_config_file(str(p))
+        p2 = tmp_path / "dup.config"
+        p2.write_text(
+            "__PERSISTENT-RECORDING__\na == 1\n__PERSISTENT-RECORDING__\nb == 2\n"
+        )
+        with pytest.raises(AttributeError):
+            parse_config_file(str(p2))
+
+    def test_session_info(self, tmp_path):
+        from playground3d_tpu.data.session import (
+            get_session_number,
+            get_session_recording_segment_time,
+            get_session_start_time_local,
+        )
+
+        root = self._make_session(tmp_path)
+        info = root + "/_SESSION_INFO.txt"
+        assert get_session_number(info) == 4
+        assert get_session_recording_segment_time(info) == 15.0
+        dt = get_session_start_time_local(info)
+        assert (dt.year, dt.hour, dt.microsecond) == (2021, 15, 770000)
+
+    def test_recording_params_and_find_files(self, tmp_path):
+        from playground3d_tpu.data.session import find_files, get_recording_params
+
+        root = self._make_session(tmp_path)
+        rec_dirs, file_names, cams = get_recording_params(root)
+        assert cams == ["p1c1", "p1c2"]
+        assert file_names[0] == "record_p1c1_4_%05d.mp4"
+        assert rec_dirs[0].endswith("recording")
+
+        files = find_files(rec_dirs, file_names, cams)
+        assert len(files) == 6
+        assert files[0][1] == "record_p1c1_4_00000.mp4" and files[0][3] == "p1c1"
+
+        dropped = find_files(rec_dirs, file_names, cams, drop_last_file=True)
+        assert len(dropped) == 4  # last segment per camera dropped
+
+        recent = find_files(rec_dirs, file_names, cams, first_file_index=2)
+        assert len(recent) == 2 and all(f[2] == 2 for f in recent)
+
+        filt = find_files(rec_dirs, file_names, cams, filter_filenames=["p1c2"])
+        assert len(filt) == 3 and all(f[3] == "p1c2" for f in filt)
+
+    def test_manager_logs(self, tmp_path):
+        from playground3d_tpu.data.session import get_manager_log_files
+
+        root = self._make_session(tmp_path)
+        logs = get_manager_log_files(root)
+        assert logs == ["manager-2021-06-16.log"]

@@ -340,3 +340,90 @@ class TestReferenceRescore:
         assert m["FP @ 0.2"] == 108
         assert m["True unique objects"] == 1
         assert m["Predicted unique objects"] == 34
+
+
+class TestCocoPath:
+    """COCO-format loader + COCO-style mAP (reference dataloader.py:23,
+    coco_eval.py:6 — pycocotools-free)."""
+
+    def _write_coco(self, tmp_path):
+        import json
+
+        from playground3d_tpu.data.video import write_png
+
+        img = np.zeros((64, 96, 3), np.uint8)
+        img[10:30, 20:50] = 200
+        write_png(str(tmp_path / "im1.png"), img)
+        write_png(str(tmp_path / "im2.png"), img)
+        coco = {
+            "images": [
+                {"id": 7, "file_name": "im1.png", "width": 96, "height": 64},
+                {"id": 9, "file_name": "im2.png", "width": 96, "height": 64},
+            ],
+            "categories": [
+                {"id": 3, "name": "car"},
+                {"id": 11, "name": "truck"},
+            ],
+            "annotations": [
+                {"id": 1, "image_id": 7, "category_id": 3, "bbox": [20, 10, 30, 20], "iscrowd": 0},
+                {"id": 2, "image_id": 7, "category_id": 11, "bbox": [5, 5, 10, 12], "iscrowd": 0},
+                {"id": 3, "image_id": 9, "category_id": 3, "bbox": [40, 20, 20, 18], "iscrowd": 0},
+                {"id": 4, "image_id": 9, "category_id": 3, "bbox": [1, 1, 0.5, 8], "iscrowd": 0},
+                {"id": 5, "image_id": 9, "category_id": 3, "bbox": [2, 2, 9, 9], "iscrowd": 1},
+            ],
+        }
+        with open(tmp_path / "ann.json", "w") as f:
+            json.dump(coco, f)
+        return str(tmp_path)
+
+    def test_coco_dataset_loads(self, tmp_path):
+        from playground3d_tpu.data.coco import CocoDataset
+
+        root = self._write_coco(tmp_path)
+        ds = CocoDataset(root, "ann.json")
+        assert len(ds) == 2 and ds.num_classes == 2
+        assert ds.label_to_name == ["car", "truck"]
+        img, ann = ds.sample(0)
+        assert img.shape == (64, 96, 3) and img.max() <= 1.0
+        assert ann.shape == (2, 5)
+        np.testing.assert_allclose(ann[0], [20, 10, 50, 30, 0])  # xywh->xyxy, label 0
+        # image 2: sub-pixel box dropped, crowd dropped -> 1 annotation
+        ann2 = ds.annotations(1)
+        assert ann2.shape == (1, 5)
+
+    def test_coco_map_perfect_and_miss(self):
+        from playground3d_tpu.evaluation.coco_eval import coco_map
+
+        gt = [(1, 0, np.array([10, 10, 50, 50])), (2, 0, np.array([20, 20, 60, 60]))]
+        # perfect detections
+        det = [(1, 0, 0.9, np.array([10, 10, 50, 50])), (2, 0, 0.8, np.array([20, 20, 60, 60]))]
+        m = coco_map(det, gt, num_classes=1)
+        assert m["AP"] == pytest.approx(1.0, abs=1e-6)
+        assert m["AP50"] == pytest.approx(1.0, abs=1e-6)
+        # no detections
+        m0 = coco_map([], gt, num_classes=1)
+        assert m0["AP"] == 0.0
+
+    def test_coco_map_iou_sweep(self):
+        from playground3d_tpu.evaluation.coco_eval import coco_map
+
+        gt = [(1, 0, np.array([0.0, 0.0, 100.0, 100.0]))]
+        # IoU ~0.6 detection: counts for thresholds 0.5-0.6, not 0.65+
+        det = [(1, 0, 0.9, np.array([0.0, 0.0, 100.0, 60.0]))]
+        m = coco_map(det, gt, num_classes=1)
+        assert m["AP50"] == pytest.approx(1.0, abs=0.02)
+        assert m["AP75"] == 0.0
+        assert 0.15 <= m["AP"] <= 0.35  # ~2-3/10 thresholds matched (the
+        # IoU denominator eps puts an exact 0.6 IoU epsilon-under thr 0.60)
+
+    def test_coco_map_false_positive_ranking(self):
+        from playground3d_tpu.evaluation.coco_eval import coco_map
+
+        gt = [(1, 0, np.array([10, 10, 50, 50]))]
+        # high-scoring FP above a perfect TP halves interpolated precision
+        det = [
+            (1, 0, 0.95, np.array([200, 200, 240, 240])),
+            (1, 0, 0.90, np.array([10, 10, 50, 50])),
+        ]
+        m = coco_map(det, gt, num_classes=1)
+        assert m["AP50"] == pytest.approx(0.5, abs=0.02)
