@@ -379,3 +379,169 @@ class TestSessionConfig:
         root = self._make_session(tmp_path)
         logs = get_manager_log_files(root)
         assert logs == ["manager-2021-06-16.log"]
+
+
+class TestFrameCache:
+    """Frame-cache builder (reference cache_corrected_frames,
+    corrected_3D_dataset.py:24-128): real video decode -> blackout ->
+    label join -> training shards."""
+
+    def test_cache_from_y4m_video(self, tmp_path, toy_camera):
+        from playground3d_tpu.data.dataset import CachedDetectionDataset
+        from playground3d_tpu.data.frame_cache import cache_corrected_frames
+        from playground3d_tpu.data.synthetic import SyntheticScene
+        from playground3d_tpu.data.video import (
+            SyntheticVideoSource,
+            VideoFrameSource,
+            write_y4m,
+        )
+        from playground3d_tpu.evaluation import geometry_np as G
+        from playground3d_tpu.evaluation.csv_io import TrackRecord, write_results_csv
+        from playground3d_tpu.utils.constants import CLASS_NAMES
+
+        reg = toy_camera["registry"]
+        P = reg.P[0, 0]
+        scene = SyntheticScene(n_objects=4, seed=3)
+        n_frames = 8
+        src = SyntheticVideoSource(
+            scene, P, n_frames=n_frames, t0=1.6e9, height=256, width=384,
+            normalized=False, burn_timestamp=True,
+        )
+        frames_u8 = [(np.clip(f, 0, 1) * 255).astype(np.uint8) for f, _ in src]
+        video = str(tmp_path / "p1c1.y4m")
+        write_y4m(video, frames_u8, fps=30)
+
+        # labels CSV from scene ground truth
+        recs = []
+        for f in range(n_frames):
+            states, idx = scene.states_at(f / 30.0)
+            if len(states) == 0:
+                continue
+            space = G.state_to_space(states)
+            im = G.space_to_im(space, P)
+            for i in range(len(states)):
+                recs.append(
+                    TrackRecord(
+                        frame=f, timestamp=1.6e9 + f / 30.0, obj_id=int(idx[i]),
+                        class_name=CLASS_NAMES[int(scene.classes[idx[i]])],
+                        state7=states[i], im_corners=im[i],
+                        space_footprint=space[i, 0:4, :2], camera="p1c1",
+                    )
+                )
+        csv_path = str(tmp_path / "p1c1_labels.csv")
+        write_results_csv(csv_path, recs)
+
+        poly = np.array([[0, 0], [60, 0], [60, 40], [0, 40]], float)
+        shards = cache_corrected_frames(
+            sources={"p1c1": VideoFrameSource(video, resize_hw=(256, 384), parse_ts=False)},
+            label_csvs={"p1c1": csv_path},
+            output_dir=str(tmp_path / "cache"),
+            last_corrected_frame={"p1c1": 5},
+            ignore_polygons={"p1c1": poly},
+            shard_size=4,
+        )
+        assert len(shards) == 2  # 6 kept frames -> shards of 4 + 2
+        z = np.load(shards[0])
+        assert z["frames"].shape == (4, 256, 384, 3) and z["frames"].dtype == np.uint8
+        assert z["labels"].shape[1:] == (32, 21)
+        # blackout applied in the polygon
+        assert z["frames"][0, :40, :60].max() == 0
+        # labels joined: at least one frame has a valid (class >= 0) label
+        assert (z["labels"][:, :, 20] >= 0).any()
+        # corners are plausible pixels
+        valid = z["labels"][z["labels"][:, :, 20] >= 0]
+        assert np.isfinite(valid[:, :16]).all()
+
+        # the cache trains: CachedDetectionDataset serves normalized batches
+        ds = CachedDetectionDataset(shards, augment=False, seed=0)
+        f, l = next(ds.batches(2))
+        assert f.shape == (2, 256, 384, 3) and l.shape == (2, 32, 21)
+
+    def test_skip_frames_and_cutoff(self, tmp_path, toy_camera):
+        from playground3d_tpu.data.frame_cache import cache_corrected_frames
+        from playground3d_tpu.evaluation.csv_io import write_results_csv
+
+        csv_path = str(tmp_path / "empty.csv")
+        write_results_csv(csv_path, [])
+
+        def frames():
+            for i in range(30):
+                yield np.full((32, 48, 3), i / 30.0, np.float32), i / 30.0
+
+        shards = cache_corrected_frames(
+            sources={"p1c1": frames()},
+            label_csvs={"p1c1": csv_path},
+            output_dir=str(tmp_path / "cache2"),
+            skip_frames=9,  # keep every 10th
+            shard_size=64,
+        )
+        z = np.load(shards[0])
+        assert z["frames"].shape[0] == 3  # frames 0, 10, 20
+        # camera marked uncorrected is skipped entirely
+        shards3 = cache_corrected_frames(
+            sources={"p1c1": frames()},
+            label_csvs={"p1c1": csv_path},
+            output_dir=str(tmp_path / "cache3"),
+            last_corrected_frame={"p1c1": -1},
+        )
+        assert shards3 == []
+
+
+class TestFilteringDataset:
+    """KF-fitting tracklet windows, with optional image serving (reference
+    i24_fit_filter_dataset.py:164-304)."""
+
+    def _csv(self, tmp_path, toy_camera, n_frames=24):
+        from playground3d_tpu.data.synthetic import SyntheticScene
+        from playground3d_tpu.evaluation import geometry_np as G
+        from playground3d_tpu.evaluation.csv_io import TrackRecord, write_results_csv
+        from playground3d_tpu.utils.constants import CLASS_NAMES
+
+        reg = toy_camera["registry"]
+        P = reg.P[0, 0]
+        scene = SyntheticScene(n_objects=3, seed=1)
+        recs = []
+        for f in range(n_frames):
+            states, idx = scene.states_at(f / 30.0)
+            space = G.state_to_space(states)
+            im = G.space_to_im(space, P)
+            for i in range(len(states)):
+                recs.append(
+                    TrackRecord(
+                        frame=f, timestamp=1.6e9 + f / 30.0, obj_id=int(idx[i]),
+                        class_name=CLASS_NAMES[int(scene.classes[idx[i]])],
+                        state7=states[i], im_corners=im[i],
+                        space_footprint=space[i, 0:4, :2], camera="p1c1",
+                    )
+                )
+        path = str(tmp_path / "tracks.csv")
+        write_results_csv(path, recs)
+        return path
+
+    def test_grouping_and_windows(self, tmp_path, toy_camera):
+        from playground3d_tpu.data.fit_filter_dataset import FilteringDataset
+
+        ds = FilteringDataset(self._csv(tmp_path, toy_camera), min_length=9)
+        assert len(ds) >= 1
+        w = ds.window(0)
+        assert w["states"].shape == (9, 7) and w["times"].shape == (9,)
+        assert np.all(np.diff(w["times"]) > 0)
+        # constant-velocity scene: x advances ~v*dt each step
+        dx = np.diff(w["states"][:, 0])
+        v = w["states"][0, 6] * w["states"][0, 5]
+        np.testing.assert_allclose(dx, v / 30.0, atol=0.2)
+
+    def test_image_serving(self, tmp_path, toy_camera):
+        from playground3d_tpu.data.fit_filter_dataset import FilteringDataset
+
+        def lookup(camera, frame_num):
+            return np.full((16, 24, 3), frame_num / 30.0, np.float32)
+
+        ds = FilteringDataset(
+            self._csv(tmp_path, toy_camera), min_length=6, frame_lookup=lookup
+        )
+        w = ds.window(0, with_images=True)
+        assert w["images"].shape == (6, 16, 24, 3)
+        np.testing.assert_allclose(w["images"][2, 0, 0, 0], w["frames"][2] / 30.0)
+        n = sum(1 for _ in ds.windows(length=6, with_images=False))
+        assert n >= len(ds)
