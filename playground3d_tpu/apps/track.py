@@ -23,9 +23,87 @@ def _synthetic_registry(n_cameras: int):
     return reg, ranges, centers
 
 
+def track_session(args):
+    """Track real recordings from an ingest session directory: camera +
+    segment discovery (data/session), video decode with burned-in timestamp
+    parsing (data/video), per-camera ignore regions (data/regions), and the
+    fused clip tracker — the production flow the reference runs as
+    MC3D_crop_tracker.py __main__:1469-1651."""
+    import itertools
+
+    import jax
+
+    from playground3d_tpu.data.regions import load_ignore_regions
+    from playground3d_tpu.data.session import find_files, get_recording_params
+    from playground3d_tpu.data.video import VideoFrameSource
+    from playground3d_tpu.geometry.homography import CameraRegistry
+    from playground3d_tpu.models import load_params, retinanet_init
+    from playground3d_tpu.pipeline.multi_cam import MultiCameraTracker
+    from playground3d_tpu.utils.config import TrackerConfig, tracking_x_range
+
+    # camera geometry: npz registry or a reference homography pickle
+    if args.registry.endswith((".cpkl", ".pkl")):
+        from playground3d_tpu.tools.ref_interop import registry_from_reference_pickle
+
+        reg = registry_from_reference_pickle(args.registry)
+    else:
+        reg = CameraRegistry.load(args.registry)
+
+    rec_dirs, fmts, cam_names = get_recording_params(args.session_dir)
+    cameras = [c for c in cam_names if c in reg.names]
+    files = find_files(rec_dirs, fmts, cam_names, drop_last_file=False)
+    by_cam = {c: [f for f in files if f[3] == c] for c in cameras}
+    assert any(by_cam.values()), "no recordings found for registry cameras"
+
+    ignore = load_ignore_regions(args.ignore_dir, cameras) if args.ignore_dir else None
+    try:
+        x_range = tracking_x_range(cameras)
+    except KeyError:
+        x_range = (0.0, 2000.0)
+    cfg = TrackerConfig(
+        max_tracks=64, max_dets=64, x_range=x_range, f_init=2,
+        det_step=args.det_step, crop_slots=32,
+    )
+
+    params = retinanet_init(jax.random.PRNGKey(0), depth=args.depth, stem="s2d")
+    if args.checkpoint:
+        params = load_params(args.checkpoint, params)
+    crop_params = None
+    if args.crop_checkpoint:
+        crop_params = retinanet_init(jax.random.PRNGKey(1), depth=18, stem="s2d")
+        crop_params = load_params(args.crop_checkpoint, crop_params)
+
+    tracker = MultiCameraTracker(
+        reg, cameras, cfg=cfg, det_params=params, crop_params=crop_params,
+        depth=args.depth, crop_depth=18, stem="s2d", crop_stem="s2d",
+        ignore_polygons=ignore, image_hw=(args.height, args.width),
+    )
+
+    import os
+
+    def cam_source(cam):
+        segs = (
+            VideoFrameSource(os.path.join(d, fn), resize_hw=(args.height, args.width))
+            for d, fn, _, _ in by_cam[cam]
+        )
+        return itertools.chain.from_iterable(segs)
+
+    stats = tracker.track_clips(
+        [cam_source(c) for c in cameras], clip_len=args.clip_len, cutoff=args.frames
+    )
+    tracker.write_results_csv(args.out)
+    print(
+        f"session: tracked {stats['frames']} frames at {stats['fps']:.1f} fps -> {args.out}"
+    )
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--mode", default="single", choices=["single", "multi"])
+    ap.add_argument("--mode", default="single", choices=["single", "multi", "session"])
+    ap.add_argument("--session-dir", default=None, help="ingest session directory (mode=session)")
+    ap.add_argument("--registry", default=None, help="camera registry .npz or reference .cpkl")
+    ap.add_argument("--ignore-dir", default=None, help="ignored_regions/ directory")
+    ap.add_argument("--clip-len", type=int, default=24)
     ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--cameras", type=int, default=3)
     ap.add_argument("--out", default="track_outputs.csv")
@@ -39,6 +117,11 @@ def main(argv=None):
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)
     args = ap.parse_args(argv)
+
+    if args.mode == "session":
+        assert args.session_dir and args.registry, "--session-dir and --registry required"
+        track_session(args)
+        return
 
     import jax
 

@@ -435,6 +435,8 @@ class MultiCameraTracker:
         centers: Optional[np.ndarray] = None,
         stem: str = "conv7",
         crop_stem: str = "conv7",
+        ignore_polygons=None,
+        image_hw: Tuple[int, int] = (1080, 1920),
     ):
         self.registry = registry
         self.cameras = list(cameras)
@@ -447,7 +449,9 @@ class MultiCameraTracker:
             cfg = TrackerConfig(x_range=x_range)
         self.cfg = cfg
         self.kfp = kf_params if kf_params is not None else default_params()
-        self.bank = bank_from_registry(registry)
+        self.bank = bank_from_registry(
+            registry, ignore_polygons=ignore_polygons, image_hw=image_hw
+        )
         if centers is None:
             centers = np.asarray(camera_centers(self.cameras), np.float32)
         self.centers = jnp.asarray(centers)

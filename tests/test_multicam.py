@@ -452,3 +452,63 @@ def test_track_clips_driver_matches_per_frame(toy_cameras3):
         assert r1[0] == r2[0]
         np.testing.assert_array_equal(r1[2], r2[2])
         np.testing.assert_allclose(r1[3], r2[3], rtol=1e-4, atol=1e-4)
+
+
+def test_session_mode_cli_end_to_end(tmp_path, toy_cameras3):
+    """Production flow: session directory of y4m recordings -> discovery ->
+    decode -> ignore regions -> fused clip tracking -> CSV (apps/track.py
+    --mode session; reference MC3D __main__:1469-1651)."""
+    import os
+
+    from playground3d_tpu.apps import track as track_app
+    from playground3d_tpu.data.synthetic import SyntheticScene
+    from playground3d_tpu.data.video import SyntheticVideoSource, write_y4m
+
+    reg = toy_cameras3["registry"]
+    cameras = list(toy_cameras3["ranges"].keys())
+
+    root = tmp_path / "session"
+    (root / "recording").mkdir(parents=True)
+    (root / "_SESSION_CONFIG.config").write_text(
+        "".join(f"__CAMERA__\nname == {c}\n" for c in cameras)
+        + "__PERSISTENT-RECORDING__\n"
+        "recording_filename == ./recording/record_{cam_name}_%05d.y4m\n"
+    )
+    (root / "_SESSION_INFO.txt").write_text("SESSION #1\n")
+
+    scene = SyntheticScene(n_objects=6, seed=2, x_spawn=(380, 820), x_visible=(340, 860))
+    H, W = 64, 96
+    for ci, cam in enumerate(cameras):
+        # two segments of 3 frames each per camera
+        src = SyntheticVideoSource(
+            scene, reg.P[ci, 0], n_frames=6, t0=1.6e9, height=H, width=W,
+            normalized=False, burn_timestamp=False,
+        )
+        frames = [(np.clip(f, 0, 1) * 255).astype(np.uint8) for f, _ in src]
+        for seg in range(2):
+            write_y4m(
+                str(root / "recording" / f"record_{cam}_{seg:05d}.y4m"),
+                frames[seg * 3 : (seg + 1) * 3], fps=30,
+            )
+
+    reg_path = str(tmp_path / "registry.npz")
+    reg.save(reg_path)
+    igdir = tmp_path / "ignored_regions"
+    igdir.mkdir()
+    (igdir / f"{cameras[0]}_ignored.csv").write_text("0,0\n20,0\n20,16\n0,16\n")
+
+    out = str(tmp_path / "out.csv")
+    track_app.main(
+        [
+            "--mode", "session", "--session-dir", str(root),
+            "--registry", reg_path, "--ignore-dir", str(igdir),
+            "--depth", "18", "--frames", "6", "--clip-len", "3",
+            "--det-step", "1", "--height", str(H), "--width", str(W),
+            "--out", out,
+        ]
+    )
+    assert os.path.exists(out)
+    from playground3d_tpu.evaluation.csv_io import load_i24_csv
+
+    headers, _ = load_i24_csv(out)
+    assert headers[0] == "Frame #"
