@@ -54,6 +54,11 @@ def main() -> None:
     DET_STEP = int(os.environ.get("BENCH_DET_STEP", "3"))
     T_CLIP = 24  # frames per device call (multiple of DET_STEP)
     N_ITERS = 12  # clips per timed device loop
+    # sweep knobs (defaults = the shipped configuration)
+    FEATURE_SIZE = int(os.environ.get("BENCH_FEATURE_SIZE", "256"))
+    TOWER_DEPTH = int(os.environ.get("BENCH_TOWER_DEPTH", "4"))
+    SHARED_TOWER = os.environ.get("BENCH_SHARED_TOWER", "0") == "1"
+    BATCH_DETECTS = os.environ.get("BENCH_BATCH_DETECTS", "1") == "1"
 
     # synthetic camera registry (geometry constants only)
     rng = np.random.default_rng(7)
@@ -82,7 +87,10 @@ def main() -> None:
     kfp = default_params()
     bank = bank_from_registry(reg)
     centers = jnp.asarray(np.array([[565.0, 60.0]], np.float32))
-    det_params = retinanet_init(jax.random.PRNGKey(0), num_classes=8, depth=DEPTH, stem=STEM)
+    det_params = retinanet_init(
+        jax.random.PRNGKey(0), num_classes=8, depth=DEPTH, stem=STEM,
+        feature_size=FEATURE_SIZE, tower_depth=TOWER_DEPTH, shared_tower=SHARED_TOWER,
+    )
     crop_params = retinanet_init(
         jax.random.PRNGKey(1), num_classes=8, depth=CROP_DEPTH, stem=STEM,
         tower_depth=2, shared_tower=True,
@@ -90,6 +98,7 @@ def main() -> None:
     clip = make_mc_clip_step(
         det_params, DEPTH, bank, centers, kfp, cfg,
         crop_params=crop_params, crop_depth=CROP_DEPTH, stem=STEM, crop_stem=STEM,
+        batch_detects=BATCH_DETECTS,
     )
 
     # uint8 s2d frames (4x less HBM + transfer than f32; normalized on device)

@@ -30,6 +30,9 @@ def main(argv=None):
     ap.add_argument("--width", type=int, default=768)
     ap.add_argument("--zoom", type=float, default=1.5)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--feature-size", type=int, default=256)
+    ap.add_argument("--tower-depth", type=int, default=4)
+    ap.add_argument("--shared-tower", action="store_true")
     ap.add_argument("--out-prefix", default="/tmp/demo_e2e")
     args = ap.parse_args(argv)
 
@@ -47,9 +50,17 @@ def main(argv=None):
     ds = SyntheticDetectionDataset(
         image_shape=shape, n_objects=6, seed=0, augment=True, zoom=args.zoom
     )
-    cfg = TrainConfig(depth=args.depth, stem=args.stem, image_shape=shape, lr=args.lr)
+    cfg = TrainConfig(
+        depth=args.depth, stem=args.stem, image_shape=shape, lr=args.lr,
+        feature_size=args.feature_size, tower_depth=args.tower_depth,
+        shared_tower=args.shared_tower,
+    )
     trainer = Trainer(cfg, key=jax.random.PRNGKey(0))
-    log(f"training resnet{args.depth}/{args.stem} at {shape} for {args.steps} steps")
+    log(
+        f"training resnet{args.depth}/{args.stem} fs={args.feature_size} "
+        f"towers={args.tower_depth}{'/shared' if args.shared_tower else ''} "
+        f"at {shape} for {args.steps} steps"
+    )
 
     batches = Prefetcher(factory=ds.batch_factory(args.batch), workers=4, depth=4)
     losses = []

@@ -35,6 +35,10 @@ def main(argv=None):
     ap.add_argument("--out", default="detector.npz")
     ap.add_argument("--resume", default=None)
     ap.add_argument("--dp", action="store_true", help="data-parallel over all devices")
+    ap.add_argument("--stem", default="conv7", choices=["conv7", "s2d"])
+    ap.add_argument("--feature-size", type=int, default=256)
+    ap.add_argument("--tower-depth", type=int, default=4)
+    ap.add_argument("--shared-tower", action="store_true")
     args = ap.parse_args(argv)
 
     import jax
@@ -48,7 +52,11 @@ def main(argv=None):
     from playground3d_tpu.train.trainer import TrainConfig, Trainer
 
     shape = (args.crop_size, args.crop_size) if args.crop else (args.height, args.width)
-    cfg = TrainConfig(depth=args.depth, image_shape=shape, lr=args.lr)
+    cfg = TrainConfig(
+        depth=args.depth, image_shape=shape, lr=args.lr, stem=args.stem,
+        feature_size=args.feature_size, tower_depth=args.tower_depth,
+        shared_tower=args.shared_tower,
+    )
     mesh = make_mesh() if args.dp else None
     trainer = Trainer(cfg, key=jax.random.PRNGKey(0), mesh=mesh)
     if args.resume:

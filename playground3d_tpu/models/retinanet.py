@@ -74,14 +74,19 @@ def retinanet_init(
     stem: str = "conv7",
     tower_depth: int = 4,
     shared_tower: bool = False,
+    feature_size: int = 256,
 ) -> Params:
+    """``feature_size`` sets the FPN/head channel width (reference parity is
+    256, model.py:59,120); the apply path is shape-driven, so slimmer heads
+    need no other change. Head FLOPs scale ~quadratically with it."""
     kb, kf, kh = jax.random.split(key, 3)
     c3, c4, c5 = fpn_sizes(depth)
     return {
         "backbone": resnet_init(kb, depth, stem=stem),
-        "fpn": fpn_init(kf, c3, c4, c5),
+        "fpn": fpn_init(kf, c3, c4, c5, feature_size=feature_size),
         "heads": head_init(
-            kh, num_classes, tower_depth=tower_depth, shared_tower=shared_tower
+            kh, num_classes, feature_size=feature_size,
+            tower_depth=tower_depth, shared_tower=shared_tower,
         ),
     }
 

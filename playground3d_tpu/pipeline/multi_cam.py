@@ -328,6 +328,7 @@ def make_mc_clip_step(
     stem: str = "s2d",
     crop_stem: str = "s2d",
     mesh=None,
+    batch_detects: bool = False,
 ):
     """Fused multi-camera clip tracker with detection cadence: ONE device
     call advances T frames, running the full-frame detect branch on frames
@@ -335,6 +336,14 @@ def make_mc_clip_step(
     where ``i % cfg.skip_step == 0``, and a passthrough snapshot otherwise —
     the reference's ``track()`` cadence loop (MC3D_crop_tracker.py:1051-1254)
     as a single ``lax.scan`` with a 3-way ``lax.switch`` per step.
+
+    With ``batch_detects=True`` (requires clip-aligned cadence: ``frame0``
+    and the clip length both multiples of ``cfg.det_step``), the detector
+    forwards + decode + top-k + NMS of ALL detect frames in the clip run as
+    one batched pass BEFORE the scan — they depend only on pixels, never on
+    tracker state, so hoisting them is numerically identical while giving
+    the MXU a T/d-deep batch instead of T/d sequential single-frame calls.
+    Only parse/association/KF (state-dependent) stay sequential.
 
     With a ``mesh``, the CAMERA axis of the frame stack is sharded over the
     mesh's 'data' axis (SURVEY §2c: the reference's per-GPU tracker placement
@@ -346,6 +355,7 @@ def make_mc_clip_step(
     frame0 scalar) -> (state', ts_bias', snapshots stacked over T).
     """
     detect_step = make_mc_detect_step(det_params, depth, bank, kfp, cfg, stem=stem)
+    parsed_step = make_mc_detect_step_from_detections(bank, kfp, cfg)
     if crop_params is not None:
         crop_step = make_crop_step(
             crop_params, crop_depth if crop_depth is not None else depth,
@@ -366,30 +376,49 @@ def make_mc_clip_step(
         T_len = frames.shape[0]
         fidx = frame0 + jnp.arange(T_len, dtype=jnp.int32)
 
-        def b_detect(op):
-            st, tb, f, t = op
-            st2, snap, tb2 = detect_step(st, f, t, tb)
-            return st2, tb2, snap
+        if batch_detects:
+            # one batched detector pass over the clip's detect frames
+            dets = jax.vmap(
+                lambda f: detect_multiframe(
+                    det_params, f, depth=depth, pre_topk=cfg.pre_topk,
+                    max_dets=cfg.max_dets, stem=stem,
+                )
+            )(frames[::d])  # Detections stacked on a [ceil(T/d)] axis
+
+            def b_detect(op):
+                st, tb, f, t, j = op
+                det_j = jax.tree_util.tree_map(lambda a: a[j], dets)
+                st2, snap, tb2 = parsed_step(st, det_j, t, tb)
+                return st2, tb2, snap
+        else:
+
+            def b_detect(op):
+                st, tb, f, t, j = op
+                st2, snap, tb2 = detect_step(st, f, t, tb)
+                return st2, tb2, snap
 
         def b_crop(op):
-            st, tb, f, t = op
+            st, tb, f, t, j = op
             st2, snap = crop_step(st, f, t, tb)
             return st2, tb, snap
 
         def b_skip(op):
-            st, tb, f, t = op
+            st, tb, f, t, j = op
             return st, tb, snapshot(st, jnp.mean(t), kfp, cfg)
 
         branches = [b_detect, b_crop if crop_step is not None else b_skip, b_skip]
+        li = jnp.arange(T_len, dtype=jnp.int32)  # clip-local index
 
         def body(carry, xt):
             st, tb = carry
-            f, t, i = xt
+            f, t, i, j = xt
             which = jnp.where(i % d == 0, 0, jnp.where(i % s == 0, 1, 2))
-            st2, tb2, snap = jax.lax.switch(which, branches, (st, tb, f, t))
+            st2, tb2, snap = jax.lax.switch(which, branches, (st, tb, f, t, j))
             return (st2, tb2), snap
 
-        (state2, tb2), snaps = jax.lax.scan(body, (state, ts_bias), (frames, cam_times, fidx))
+        (state2, tb2), snaps = jax.lax.scan(
+            body, (state, ts_bias), (frames, cam_times, fidx, li // d)
+        )
         return state2, tb2, snaps
 
     if mesh is None:

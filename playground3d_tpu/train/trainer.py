@@ -47,6 +47,11 @@ class TrainConfig:
     image_shape: Tuple[int, int] = (1080, 1920)
     plateau_factor: float = 0.3  # ReduceLROnPlateau parity
     plateau_patience: int = 1
+    # head/FPN width + tower shape (256/4/separate = reference parity,
+    # model.py:59,120-205; slimmer settings trade head FLOPs for capacity)
+    feature_size: int = 256
+    tower_depth: int = 4
+    shared_tower: bool = False
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -61,7 +66,9 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 def init_train_state(key, cfg: TrainConfig, params=None) -> Tuple[TrainState, optax.GradientTransformation]:
     if params is None:
         params = retinanet_init(
-            key, num_classes=cfg.num_classes, depth=cfg.depth, stem=cfg.stem
+            key, num_classes=cfg.num_classes, depth=cfg.depth, stem=cfg.stem,
+            feature_size=cfg.feature_size, tower_depth=cfg.tower_depth,
+            shared_tower=cfg.shared_tower,
         )
     opt = make_optimizer(cfg)
     return TrainState(params=params, opt_state=opt.init(params), step=jnp.asarray(0)), opt
