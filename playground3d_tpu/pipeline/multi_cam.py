@@ -298,7 +298,7 @@ def make_mc_detect_step(
     ):
         det = detect_multiframe(
             det_params, frames, depth=depth, pre_topk=cfg.pre_topk,
-            max_dets=cfg.max_dets, stem=stem,
+            max_dets=cfg.max_dets, stem=stem, approx_topk=cfg.approx_topk,
         )
         corrected = cam_times + ts_bias
         pre = parse_detections_pre(det, bank, corrected, cfg)
@@ -381,7 +381,7 @@ def make_mc_clip_step(
             dets = jax.vmap(
                 lambda f: detect_multiframe(
                     det_params, f, depth=depth, pre_topk=cfg.pre_topk,
-                    max_dets=cfg.max_dets, stem=stem,
+                    max_dets=cfg.max_dets, stem=stem, approx_topk=cfg.approx_topk,
                 )
             )(frames[::d])  # Detections stacked on a [ceil(T/d)] axis
 

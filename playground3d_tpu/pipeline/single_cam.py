@@ -75,6 +75,7 @@ def make_full_step(
             pre_topk=cfg.pre_topk,
             max_dets=cfg.max_dets,
             stem=stem,
+            approx_topk=cfg.approx_topk,
         )
         parsed = parse_detections(det, bank, cam_times, cfg)
         t_ref = jnp.mean(cam_times)

@@ -55,6 +55,9 @@ class TrackerConfig:
     max_tracks: int = 128
     max_dets: int = 128
     pre_topk: int = 4096
+    # TPU-optimized approximate top-k for the detection candidate pool
+    # (recall 0.99; exact on CPU backends — see models/retinanet.py)
+    approx_topk: bool = False
 
 
 @dataclass(frozen=True)

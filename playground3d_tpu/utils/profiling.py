@@ -73,7 +73,10 @@ def device_ms(fn, *args, iters: int = 10, warmup: bool = True) -> float:
                     cur[f_idx] = cur[f_idx] + (acc * 1e-30).astype(cur[f_idx].dtype)
                 out = fn(*jax.tree_util.tree_unflatten(treedef, cur))
                 leaf = jax.tree_util.tree_leaves(out)[0]
-                return acc + leaf.ravel()[0].astype(jnp.float32)
+                # reduce over the WHOLE leaf: depending on a single element
+                # would let XLA narrow the computation to the slice that
+                # produces it (a lone conv probed this way measures ~0)
+                return acc + jnp.sum(leaf).astype(jnp.float32)
 
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 

@@ -40,20 +40,28 @@ for name, n, h, w, ci, co, k, s in SHAPES:
 
     t_bf16 = device_ms(
         lambda a, b: conv(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), s),
-        x, wt, iters=30,
+        x, wt, iters=200,
     )
-    xi = jnp.asarray(rng.integers(-127, 127, (n, h, w, ci), dtype=np.int8))
     wi = jnp.asarray(rng.integers(-127, 127, (k, k, ci, co), dtype=np.int8))
     try:
+        # quantize the (perturbed float) activation inside the timed fn —
+        # matches the real w8a8 path (requantize each layer) and defeats CSE
         t_int8 = device_ms(
-            lambda a, b: conv(a, b, s, prefer=jnp.int32).astype(jnp.float32) * 1e-6,
-            xi, wi, iters=30,
+            lambda a, b: conv(
+                jnp.clip(jnp.round(a * 16.0), -127, 127).astype(jnp.int8),
+                b, s, prefer=jnp.int32,
+            ).astype(jnp.float32) * 1e-6,
+            x, wi, iters=200,
         )
     except Exception as e:
         t_int8 = float("nan")
         print(f"int8 failed for {name}: {type(e).__name__}: {e}")
+
+    def rate(t):
+        return flops / t / 1e9 if t and t == t else float("nan")
+
     print(
-        f"{name:<36} bf16 {t_bf16:6.3f} ms ({flops/t_bf16/1e9:6.1f} TF/s)  "
-        f"int8 {t_int8:6.3f} ms ({flops/t_int8/1e9:6.1f} TOP/s)",
+        f"{name:<36} bf16 {t_bf16:6.3f} ms ({rate(t_bf16):6.1f} TF/s)  "
+        f"int8 {t_int8:6.3f} ms ({rate(t_int8):6.1f} TOP/s)",
         flush=True,
     )
