@@ -33,6 +33,10 @@ def main(argv=None):
     ap.add_argument("--feature-size", type=int, default=256)
     ap.add_argument("--tower-depth", type=int, default=4)
     ap.add_argument("--shared-tower", action="store_true")
+    ap.add_argument(
+        "--quantize", action="store_true",
+        help="PTQ the trained backbone to int8 before tracking (models/quant)",
+    )
     ap.add_argument("--out-prefix", default="/tmp/demo_e2e")
     args = ap.parse_args(argv)
 
@@ -78,6 +82,13 @@ def main(argv=None):
     log(f"training done; loss {losses[0]:.3f} -> {np.mean(losses[-20:]):.3f}")
     trainer.save(args.out_prefix + "_detector.npz")
     params = jax.device_get(trainer.state.params)
+
+    if args.quantize:
+        from playground3d_tpu.models.quant import quantize_detector
+
+        calib, _ = ds.batch_factory(args.batch)()
+        params = quantize_detector(params, calib, args.depth, stem=args.stem)
+        log("backbone quantized to int8 (PTQ, synthetic calibration batch)")
 
     # ---- track a fresh synthetic sequence with the trained detector --------
     from playground3d_tpu.data.synthetic import SyntheticScene

@@ -44,12 +44,12 @@ def _basic_block_init(key, in_ch, planes, stride) -> Params:
     return p
 
 
-def _basic_block_apply(p: Params, x, stride, dtype) -> jnp.ndarray:
-    out = jax.nn.relu(bn_apply(p["bn1"], conv_apply(p["conv1"], x, stride, dtype=dtype)))
-    out = bn_apply(p["bn2"], conv_apply(p["conv2"], out, dtype=dtype))
+def _basic_block_apply(p: Params, x, stride, cb) -> jnp.ndarray:
+    out = cb(p["conv1"], p["bn1"], x, stride, relu=True)
+    out = cb(p["conv2"], p["bn2"], out, 1, relu=False)
     res = x
     if "down_conv" in p:
-        res = bn_apply(p["down_bn"], conv_apply(p["down_conv"], x, stride, dtype=dtype))
+        res = cb(p["down_conv"], p["down_bn"], x, stride, relu=False)
     return jax.nn.relu(out + res)
 
 
@@ -69,13 +69,13 @@ def _bottleneck_init(key, in_ch, planes, stride) -> Params:
     return p
 
 
-def _bottleneck_apply(p: Params, x, stride, dtype) -> jnp.ndarray:
-    out = jax.nn.relu(bn_apply(p["bn1"], conv_apply(p["conv1"], x, dtype=dtype)))
-    out = jax.nn.relu(bn_apply(p["bn2"], conv_apply(p["conv2"], out, stride, dtype=dtype)))
-    out = bn_apply(p["bn3"], conv_apply(p["conv3"], out, dtype=dtype))
+def _bottleneck_apply(p: Params, x, stride, cb) -> jnp.ndarray:
+    out = cb(p["conv1"], p["bn1"], x, 1, relu=True)
+    out = cb(p["conv2"], p["bn2"], out, stride, relu=True)
+    out = cb(p["conv3"], p["bn3"], out, 1, relu=False)
     res = x
     if "down_conv" in p:
-        res = bn_apply(p["down_bn"], conv_apply(p["down_conv"], x, stride, dtype=dtype))
+        res = cb(p["down_conv"], p["down_bn"], x, stride, relu=False)
     return jax.nn.relu(out + res)
 
 
@@ -130,25 +130,44 @@ def fpn_sizes(depth: int) -> Tuple[int, int, int]:
     return 128 * expansion, 256 * expansion, 512 * expansion
 
 
+def default_conv_bn(dtype=jnp.bfloat16):
+    """Standard conv -> frozen-BN (-> relu) unit used by the blocks."""
+
+    def cb(pc, pbn, x, stride=1, relu=False):
+        y = bn_apply(pbn, conv_apply(pc, x, stride, dtype=dtype))
+        return jax.nn.relu(y) if relu else y
+
+    return cb
+
+
 def resnet_apply(
-    params: Params, x: jnp.ndarray, depth: int, dtype=jnp.bfloat16, stem: str = "conv7"
+    params: Params,
+    x: jnp.ndarray,
+    depth: int,
+    dtype=jnp.bfloat16,
+    stem: str = "conv7",
+    conv_bn=None,
 ):
     """NHWC image batch -> (C3, C4, C5).
 
     With stem="s2d", ``x`` is either raw [N,H,W,3] (packed on device) or
     pre-packed [N,H/4,W/4,48] from the host pipeline.
+
+    ``conv_bn`` overrides the conv->BN(->relu) unit for every convolution
+    (signature ``cb(conv_p, bn_p, x, stride, relu)``): the int8 quantized
+    path (models/quant.py) and activation-range calibration plug in here.
+    Call order is the contract — models/quant._iter_conv_bn mirrors it.
     """
     block_type, layers = LAYER_SPECS[depth]
     block_apply = _basic_block_apply if block_type == "basic" else _bottleneck_apply
+    cb = conv_bn if conv_bn is not None else default_conv_bn(dtype)
 
     if stem == "s2d":
         if x.shape[-1] == 3:
             x = space_to_depth(x, 4)
-        x = conv_apply(params["conv1"], x, stride=1, dtype=dtype)
-        x = jax.nn.relu(bn_apply(params["bn1"], x))
+        x = cb(params["conv1"], params["bn1"], x, 1, relu=True)
     else:
-        x = conv_apply(params["conv1"], x, stride=2, dtype=dtype)
-        x = jax.nn.relu(bn_apply(params["bn1"], x))
+        x = cb(params["conv1"], params["bn1"], x, 2, relu=True)
         x = max_pool(x, 3, 2)
 
     feats = []
@@ -156,6 +175,6 @@ def resnet_apply(
         blocks = params[f"layer{stage + 1}"]
         stride = 1 if stage == 0 else 2
         for i, bp in enumerate(blocks):
-            x = block_apply(bp, x, stride if i == 0 else 1, dtype)
+            x = block_apply(bp, x, stride if i == 0 else 1, cb)
         feats.append(x)
     return feats[1], feats[2], feats[3]  # C3, C4, C5

@@ -1,0 +1,76 @@
+"""int8 backbone quantization (models/quant.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from playground3d_tpu.models import retinanet_init
+from playground3d_tpu.models.quant import (
+    _iter_conv_bn,
+    calibrate_backbone,
+    is_quantized,
+    quantize_backbone,
+    quantize_detector,
+    resnet_apply_int8,
+)
+from playground3d_tpu.models.resnet import resnet_apply, resnet_init
+
+
+@pytest.mark.parametrize("depth,stem", [(18, "s2d"), (50, "conv7")])
+def test_conv_walker_matches_apply_order(depth, stem):
+    """_iter_conv_bn must visit exactly the convs resnet_apply calls, in
+    order — locked by comparing recorded input shapes."""
+    params = resnet_init(jax.random.PRNGKey(0), depth, stem=stem)
+    seen = []
+
+    def cb(pc, pbn, x, stride=1, relu=False):
+        from playground3d_tpu.models.nn import bn_apply, conv_apply
+
+        seen.append(pc["w"].shape)
+        y = bn_apply(pbn, conv_apply(pc, x, stride, dtype=jnp.float32))
+        return jax.nn.relu(y) if relu else y
+
+    h = 64 if stem == "conv7" else 16
+    x = jnp.zeros((1, h, h, 3 if stem == "conv7" else 48))
+    jax.eval_shape(lambda p, im: resnet_apply(p, im, depth, jnp.float32, stem, conv_bn=cb), params, x)
+    walked = [pc["w"].shape for pc, _ in _iter_conv_bn(params, depth)]
+    assert seen == walked
+
+
+def test_quantized_features_close_to_f32():
+    depth = 18
+    params = resnet_init(jax.random.PRNGKey(1), depth, stem="s2d")
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 24, 48)).astype(np.float32))
+
+    absmax = calibrate_backbone(params, x, depth, stem="s2d", dtype=jnp.float32)
+    q = quantize_backbone(params, absmax, depth)
+    assert is_quantized(q)
+
+    ref = resnet_apply(params, x, depth, jnp.float32, stem="s2d")
+    got = resnet_apply_int8(q, x, depth, stem="s2d")
+    for r, g in zip(ref, got):
+        r, g = np.asarray(r), np.asarray(g)
+        denom = np.abs(r).mean() + 1e-6
+        rel = np.abs(r - g).mean() / denom
+        assert rel < 0.12, f"quantized feature error too large: {rel}"
+
+
+def test_quantize_detector_runs_detect_path():
+    from playground3d_tpu.models.retinanet import detect_multiframe
+
+    depth = 18
+    params = retinanet_init(jax.random.PRNGKey(2), depth=depth, stem="s2d")
+    rng = np.random.default_rng(1)
+    calib = rng.integers(0, 255, (1, 16, 24, 48), dtype=np.uint8)
+    qparams = quantize_detector(params, calib, depth, stem="s2d")
+
+    frames = jnp.asarray(rng.integers(0, 255, (2, 16, 24, 48), dtype=np.uint8))
+    det = detect_multiframe(qparams, frames, depth=depth, pre_topk=64, max_dets=16, stem="s2d")
+    assert det.scores.shape == (16,)
+    assert bool(jnp.all(jnp.isfinite(det.scores)))
+
+    # f32 weights retained for fallback; original tree untouched
+    assert "w" in qparams["backbone"]["conv1"]
+    assert "wq" not in params["backbone"]["conv1"]
