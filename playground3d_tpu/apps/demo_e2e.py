@@ -37,6 +37,14 @@ def main(argv=None):
         "--quantize", action="store_true",
         help="PTQ the trained backbone to int8 before tracking (models/quant)",
     )
+    ap.add_argument(
+        "--approx-topk", action="store_true",
+        help="use lax.approx_max_k candidate pooling in the tracker",
+    )
+    ap.add_argument(
+        "--det-ckpt", default=None,
+        help="load a trained detector npz and skip training (quality A/B runs)",
+    )
     ap.add_argument("--out-prefix", default="/tmp/demo_e2e")
     args = ap.parse_args(argv)
 
@@ -59,29 +67,42 @@ def main(argv=None):
         feature_size=args.feature_size, tower_depth=args.tower_depth,
         shared_tower=args.shared_tower,
     )
-    trainer = Trainer(cfg, key=jax.random.PRNGKey(0))
-    log(
-        f"training resnet{args.depth}/{args.stem} fs={args.feature_size} "
-        f"towers={args.tower_depth}{'/shared' if args.shared_tower else ''} "
-        f"at {shape} for {args.steps} steps"
-    )
+    if args.det_ckpt is not None:
+        from playground3d_tpu.models import load_params, retinanet_init
 
-    batches = Prefetcher(factory=ds.batch_factory(args.batch), workers=4, depth=4)
-    losses = []
-    for step, (frames, labels) in zip(range(args.steps), batches):
-        m = trainer.train_step(frames, labels)
-        losses.append(float(m["loss"]))
-        if step % 50 == 0:
-            log(
-                f"step {step}: loss={losses[-1]:.4f} "
-                f"cls={float(m['cls']):.4f} reg={float(m['reg']):.4f} vp={float(m['vp']):.4f}"
-            )
-        if step % 500 == 499:
-            trainer.save(args.out_prefix + "_detector.npz")
-    batches.close()
-    log(f"training done; loss {losses[0]:.3f} -> {np.mean(losses[-20:]):.3f}")
-    trainer.save(args.out_prefix + "_detector.npz")
-    params = jax.device_get(trainer.state.params)
+        params = load_params(
+            args.det_ckpt,
+            retinanet_init(
+                jax.random.PRNGKey(0), depth=args.depth, stem=args.stem,
+                feature_size=args.feature_size, tower_depth=args.tower_depth,
+                shared_tower=args.shared_tower,
+            ),
+        )
+        log(f"loaded detector checkpoint {args.det_ckpt} (training skipped)")
+    else:
+        trainer = Trainer(cfg, key=jax.random.PRNGKey(0))
+        log(
+            f"training resnet{args.depth}/{args.stem} fs={args.feature_size} "
+            f"towers={args.tower_depth}{'/shared' if args.shared_tower else ''} "
+            f"at {shape} for {args.steps} steps"
+        )
+
+        batches = Prefetcher(factory=ds.batch_factory(args.batch), workers=4, depth=4)
+        losses = []
+        for step, (frames, labels) in zip(range(args.steps), batches):
+            m = trainer.train_step(frames, labels)
+            losses.append(float(m["loss"]))
+            if step % 50 == 0:
+                log(
+                    f"step {step}: loss={losses[-1]:.4f} "
+                    f"cls={float(m['cls']):.4f} reg={float(m['reg']):.4f} vp={float(m['vp']):.4f}"
+                )
+            if step % 500 == 499:
+                trainer.save(args.out_prefix + "_detector.npz")
+        batches.close()
+        log(f"training done; loss {losses[0]:.3f} -> {np.mean(losses[-20:]):.3f}")
+        trainer.save(args.out_prefix + "_detector.npz")
+        params = jax.device_get(trainer.state.params)
 
     if args.quantize:
         from playground3d_tpu.models.quant import quantize_detector
@@ -111,6 +132,7 @@ def main(argv=None):
         x_range=(430.0, 700.0),
         f_init=2,
         sigma_d=0.25,
+        approx_topk=args.approx_topk,
     )
     tracker = SingleCameraTracker(
         reg, "p1c1", cfg=tcfg, det_params=params, depth=args.depth, stem=args.stem

@@ -57,9 +57,9 @@ def head_init(
     return p
 
 
-def _tower_apply(tower, x, dtype):
-    for conv in tower:
-        x = jax.nn.relu(conv_apply(conv, x, dtype=dtype))
+def _tower_apply(tower, x, dtype, conv=conv_apply):
+    for c in tower:
+        x = jax.nn.relu(conv(c, x, dtype=dtype))
     return x
 
 
@@ -70,20 +70,26 @@ def head_apply(
     num_anchors: int = 9,
     dtype=jnp.bfloat16,
     apply_sigmoid: bool = True,
+    conv=conv_apply,
 ):
     """[P3..P7] -> (classification [N, A_total, K], regression [N, A_total, 12]).
 
     Flatten order per level is (y, x, anchor) — matching the anchor layout
     in :mod:`playground3d_tpu.models.anchors`.
+
+    ``conv`` is a pluggable conv unit so the int8 PTQ path (models/quant)
+    reuses this exact data flow; the tower conv dicts are shared across all
+    five pyramid levels, so a quantized conv's static activation scale must
+    cover every level (the calibrator accumulates max over calls).
     """
     cls_all, reg_all = [], []
     shared = p.get("reg_tower") is None
     for f in features:
         n, h, w, _ = f.shape
-        ct = _tower_apply(p["cls_tower"], f, dtype)
-        rt = ct if shared else _tower_apply(p["reg_tower"], f, dtype)
-        c = conv_apply(p["cls_out"], ct, dtype=dtype)
-        r = conv_apply(p["reg_out"], rt, dtype=dtype)
+        ct = _tower_apply(p["cls_tower"], f, dtype, conv)
+        rt = ct if shared else _tower_apply(p["reg_tower"], f, dtype, conv)
+        c = conv(p["cls_out"], ct, dtype=dtype)
+        r = conv(p["reg_out"], rt, dtype=dtype)
         cls_all.append(c.reshape(n, h * w * num_anchors, num_classes))
         reg_all.append(r.reshape(n, h * w * num_anchors, N_REG_OUTPUTS))
     cls = jnp.concatenate(cls_all, axis=1)

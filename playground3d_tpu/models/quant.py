@@ -149,23 +149,151 @@ def resnet_apply_int8(params: Params, x, depth: int, stem: str = "conv7"):
     return resnet_apply(params, x, depth, jnp.float32, stem, conv_bn=quant_conv_bn)
 
 
+# ---- FPN + head ("tail") quantization --------------------------------------
+#
+# The parity-width heads are the largest non-backbone FLOP block of the
+# detect step (two 4-conv 256-ch towers over all five pyramid levels; the
+# stride-8 level alone is ~75% of head cells), so int8 on the tail roughly
+# matches the backbone win. Same w8a8 scheme; these convs carry a bias
+# instead of a BN (conv_init(bias=True), fpn.py / heads.py), so dequant is
+# one multiply plus the f32 bias.
+
+
+def _iter_tail_convs(params: Params):
+    """Yield the fpn+head conv dicts in a canonical order.
+
+    Each dict is yielded ONCE even though head towers apply to all five
+    levels — a quantized conv's static ``xs`` covers every call site (the
+    calibrator takes the max over calls on the same dict).
+    """
+    fpn = params["fpn"]
+    for k in ("P5_1", "P5_2", "P4_1", "P4_2", "P3_1", "P3_2", "P6", "P7_2"):
+        yield fpn[k]
+    heads = params["heads"]
+    for c in heads["cls_tower"]:
+        yield c
+    if heads.get("reg_tower") is not None:
+        for c in heads["reg_tower"]:
+            yield c
+    yield heads["cls_out"]
+    yield heads["reg_out"]
+
+
+def quant_conv(pc: Params, x, stride: int = 1, padding="SAME", dtype=jnp.bfloat16):
+    """``conv_apply``-compatible int8 unit for biased convs (FPN/heads).
+
+    Non-quantized convs fall back to bf16; quantized ones requantize the
+    input with the static scale, run int8xint8->int32 on the MXU, and
+    dequantize with one per-channel multiply + the f32 bias."""
+    if "wq" not in pc:
+        return conv_apply(pc, x, stride, padding, dtype=dtype)
+    xs = pc["xs"]
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / xs), -127.0, 127.0).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, pc["wq"], (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    out = y.astype(jnp.float32) * (xs * pc["ws"])
+    if "b" in pc:
+        out = out + pc["b"]
+    return out
+
+
+def _calibrating_conv(store: dict):
+    """A ``conv_apply``-compatible unit that records max|x| per conv dict
+    (keyed by object identity, accumulated across call sites)."""
+
+    def conv(pc, x, stride=1, padding="SAME", dtype=jnp.bfloat16):
+        a = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        k = id(pc)
+        store[k] = a if k not in store else jnp.maximum(store[k], a)
+        return conv_apply(pc, x, stride, padding, dtype=dtype)
+
+    return conv
+
+
+def calibrate_tail(params: Params, c3, c4, c5, num_classes: int) -> jnp.ndarray:
+    """Run one fpn+heads forward on (quantized-)backbone features, recording
+    max|x| at every conv input. Returns [n_tail_convs] in
+    :func:`_iter_tail_convs` order."""
+    from playground3d_tpu.models.fpn import fpn_apply
+    from playground3d_tpu.models.heads import head_apply
+
+    @jax.jit
+    def run(p, c3, c4, c5):
+        store: dict = {}
+        conv = _calibrating_conv(store)
+        feats = fpn_apply(p["fpn"], c3, c4, c5, conv=conv)
+        head_apply(p["heads"], feats, num_classes, conv=conv, apply_sigmoid=False)
+        return jnp.stack([store[id(pc)] for pc in _iter_tail_convs(p)])
+
+    return run(params, c3, c4, c5)
+
+
+def quantize_tail(
+    params: Params, act_absmax, quant_outputs: bool = True, min_ch: int = 128
+) -> Params:
+    """Attach int8 weights + scales to the fpn/head convs (in place on a
+    cloned tree). ``quant_outputs=False`` keeps the final cls/reg output
+    convs bf16 (the regression outputs are the precision-critical ones)."""
+    q = _clone_tree({"fpn": params["fpn"], "heads": params["heads"]})
+    convs = list(_iter_tail_convs(q))
+    act_absmax = jnp.asarray(act_absmax)
+    assert act_absmax.shape[0] == len(convs), (
+        f"calibration length {act_absmax.shape[0]} != tail conv count {len(convs)}"
+    )
+    outputs = {id(q["heads"]["cls_out"]), id(q["heads"]["reg_out"])}
+    for i, pc in enumerate(convs):
+        if not quant_outputs and id(pc) in outputs:
+            continue
+        w = pc["w"]
+        if w.shape[2] < min_ch:
+            continue
+        ws = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), _EPS) / 127.0
+        pc["wq"] = jnp.clip(jnp.round(w / ws), -127, 127).astype(jnp.int8)
+        pc["ws"] = ws
+        pc["xs"] = jnp.maximum(act_absmax[i], _EPS) / 127.0
+    return q
+
+
 def quantize_detector(
-    params: Params, calib_images, depth: int, stem: str = "conv7"
+    params: Params,
+    calib_images,
+    depth: int,
+    stem: str = "conv7",
+    tail: bool = True,
+    quant_outputs: bool = True,
 ) -> Params:
     """Full-detector PTQ entry point: calibrate on representative frames
     (same dtype/layout the pipeline feeds — uint8 s2d is normalized exactly
-    as at inference), quantize the backbone, keep FPN/heads bf16. The
-    returned tree drops into every existing forward (forward_raw dispatches
-    on the ``wq`` key)."""
+    as at inference), quantize the backbone, then calibrate the FPN/heads on
+    the QUANTIZED backbone's features (so the static scales match what the
+    tail actually sees at inference) and quantize them too. The returned
+    tree drops into every existing forward (forward_raw dispatches on the
+    ``wq`` key). ``tail=False`` restores the backbone-only scheme."""
     from playground3d_tpu.models.retinanet import normalize_on_device
 
     batches = calib_images if isinstance(calib_images, (list, tuple)) else [calib_images]
+    batches = [normalize_on_device(jnp.asarray(im)) for im in batches]
     absmax = None
     for im in batches:
-        a = calibrate_backbone(
-            params["backbone"], normalize_on_device(jnp.asarray(im)), depth, stem
-        )
+        a = calibrate_backbone(params["backbone"], im, depth, stem)
         absmax = a if absmax is None else jnp.maximum(absmax, a)
     out = dict(params)
     out["backbone"] = quantize_backbone(params["backbone"], absmax, depth)
+    if tail:
+        bb = jax.jit(
+            lambda p, im: resnet_apply_int8(p, im, depth, stem=stem)
+        )
+        tail_absmax = None
+        for im in batches:
+            c3, c4, c5 = bb(out["backbone"], im)
+            n_anchors = 9
+            num_classes = params["heads"]["cls_out"]["b"].shape[0] // n_anchors
+            a = calibrate_tail(params, c3, c4, c5, num_classes)
+            tail_absmax = a if tail_absmax is None else jnp.maximum(tail_absmax, a)
+        qt = quantize_tail(params, tail_absmax, quant_outputs=quant_outputs)
+        out["fpn"] = qt["fpn"]
+        out["heads"] = qt["heads"]
     return out

@@ -105,15 +105,19 @@ def forward_raw(
     With stem="s2d" the input may be host-packed [N,H/4,W/4,48]; uint8
     inputs are normalized on device (see normalize_on_device)."""
     images = normalize_on_device(images)
-    from playground3d_tpu.models.quant import is_quantized, resnet_apply_int8
+    from playground3d_tpu.models.quant import is_quantized, quant_conv, resnet_apply_int8
 
     if is_quantized(params["backbone"]):
         c3, c4, c5 = resnet_apply_int8(params["backbone"], images, depth, stem=stem)
     else:
         c3, c4, c5 = resnet_apply(params["backbone"], images, depth, dtype, stem=stem)
-    feats = fpn_apply(params["fpn"], c3, c4, c5, dtype)
+    # fpn/heads dispatch per-conv on the ``wq`` key, so a mixed tree (e.g.
+    # quantized towers, bf16 output convs) runs each conv on its right path
+    tail_conv = quant_conv if is_quantized(params["fpn"]) or is_quantized(params["heads"]) else None
+    fkw = {} if tail_conv is None else {"conv": tail_conv}
+    feats = fpn_apply(params["fpn"], c3, c4, c5, dtype, **fkw)
     return head_apply(
-        params["heads"], feats, num_classes, dtype=dtype, apply_sigmoid=apply_sigmoid
+        params["heads"], feats, num_classes, dtype=dtype, apply_sigmoid=apply_sigmoid, **fkw
     )
 
 

@@ -74,3 +74,66 @@ def test_quantize_detector_runs_detect_path():
     # f32 weights retained for fallback; original tree untouched
     assert "w" in qparams["backbone"]["conv1"]
     assert "wq" not in params["backbone"]["conv1"]
+
+
+def test_tail_quantization_close_and_nondestructive():
+    """FPN+head int8 (quant_conv / quantize_tail): raw head outputs stay
+    close to the f32 forward, and the source tree is untouched."""
+    from playground3d_tpu.models.quant import (
+        calibrate_tail,
+        quant_conv,
+        quantize_tail,
+        _iter_tail_convs,
+    )
+    from playground3d_tpu.models.fpn import fpn_apply
+    from playground3d_tpu.models.heads import head_apply
+    from playground3d_tpu.models.resnet import resnet_apply
+
+    depth = 18
+    params = retinanet_init(jax.random.PRNGKey(3), depth=depth, stem="s2d")
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 1, (1, 32, 48, 48)).astype(np.float32))
+    c3, c4, c5 = resnet_apply(params["backbone"], x, depth, jnp.float32, "s2d")
+
+    # 8 fpn convs + 2 towers x 4 + 2 output convs
+    assert len(list(_iter_tail_convs(params))) == 18
+
+    absmax = calibrate_tail(params, c3, c4, c5, num_classes=8)
+    q = quantize_tail(params, absmax)
+    assert is_quantized(q["fpn"]) and is_quantized(q["heads"])
+    assert "wq" not in params["fpn"]["P3_2"]  # source untouched
+
+    ref_feats = fpn_apply(params["fpn"], c3, c4, c5, jnp.float32)
+    ref_cls, ref_reg = head_apply(params["heads"], ref_feats, 8, dtype=jnp.float32, apply_sigmoid=False)
+    got_feats = fpn_apply(q["fpn"], c3, c4, c5, jnp.float32, conv=quant_conv)
+    got_cls, got_reg = head_apply(q["heads"], got_feats, 8, dtype=jnp.float32, apply_sigmoid=False, conv=quant_conv)
+
+    for r, g in ((ref_cls, got_cls), (ref_reg, got_reg)):
+        r, g = np.asarray(r), np.asarray(g)
+        rel = np.abs(r - g).mean() / (np.abs(r).mean() + 1e-6)
+        assert rel < 0.15, f"tail quant error too large: {rel}"
+
+
+def test_quantize_detector_full_tree_dispatch():
+    """quantize_detector(tail=True) quantizes backbone+fpn+heads and the
+    standard detect path runs the mixed tree via forward_raw dispatch."""
+    from playground3d_tpu.models.retinanet import detect_multiframe, forward_raw
+
+    depth = 18
+    params = retinanet_init(jax.random.PRNGKey(4), depth=depth, stem="s2d")
+    rng = np.random.default_rng(3)
+    calib = rng.integers(0, 255, (1, 16, 24, 48), dtype=np.uint8)
+    qparams = quantize_detector(params, calib, depth, stem="s2d")
+    assert is_quantized(qparams["fpn"]) and is_quantized(qparams["heads"])
+
+    frames = jnp.asarray(rng.integers(0, 255, (2, 16, 24, 48), dtype=np.uint8))
+    det = detect_multiframe(qparams, frames, depth=depth, pre_topk=64, max_dets=16, stem="s2d")
+    assert bool(jnp.all(jnp.isfinite(det.scores)))
+
+    # outputs track the bf16 forward of the SAME (unquantized) weights
+    cls_q, reg_q = forward_raw(qparams, frames, depth, stem="s2d")
+    cls_f, reg_f = forward_raw(params, frames, depth, stem="s2d")
+    rel = np.abs(np.asarray(reg_q) - np.asarray(reg_f)).mean() / (
+        np.abs(np.asarray(reg_f)).mean() + 1e-6
+    )
+    assert rel < 0.35, f"full-tree quant drifted too far from f32: {rel}"
