@@ -44,12 +44,18 @@ def level_shape(image_shape: Tuple[int, int], level: int) -> Tuple[int, int]:
     return (h + s - 1) // s, (w + s - 1) // s
 
 
-@functools.lru_cache(maxsize=16)
-def anchors_for_shape(image_shape: Tuple[int, int]) -> np.ndarray:
+@functools.lru_cache(maxsize=32)
+def anchors_for_shape(
+    image_shape: Tuple[int, int], levels: Tuple[int, ...] = PYRAMID_LEVELS
+) -> np.ndarray:
     """[A_total, 4] float32 anchors for an (H, W) input
-    (reference anchors.py:21-40 + shift:109-129)."""
+    (reference anchors.py:21-40 + shift:109-129).
+
+    ``levels`` restricts the pyramid (e.g. (4,5,6,7) drops the stride-8
+    level — the "highway scale band" inference knob; the stride-8 grid is
+    ~75% of all anchors and head cells). Reference parity is all of 3-7."""
     out = []
-    for level in PYRAMID_LEVELS:
+    for level in levels:
         stride = 2 ** level
         size = 2 ** (level + 2)
         base = base_anchors(size)  # [9,4]
@@ -62,5 +68,7 @@ def anchors_for_shape(image_shape: Tuple[int, int]) -> np.ndarray:
     return np.concatenate(out, axis=0).astype(np.float32)
 
 
-def num_anchors_for_shape(image_shape: Tuple[int, int]) -> int:
-    return anchors_for_shape(tuple(image_shape)).shape[0]
+def num_anchors_for_shape(
+    image_shape: Tuple[int, int], levels: Tuple[int, ...] = PYRAMID_LEVELS
+) -> int:
+    return anchors_for_shape(tuple(image_shape), levels).shape[0]

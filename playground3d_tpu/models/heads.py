@@ -71,6 +71,7 @@ def head_apply(
     dtype=jnp.bfloat16,
     apply_sigmoid: bool = True,
     conv=conv_apply,
+    compact: bool = False,
 ):
     """[P3..P7] -> (classification [N, A_total, K], regression [N, A_total, 12]).
 
@@ -81,6 +82,14 @@ def head_apply(
     reuses this exact data flow; the tower conv dicts are shared across all
     five pyramid levels, so a quantized conv's static activation scale must
     cover every level (the calibrator accumulates max over calls).
+
+    ``compact=True`` returns raw LOGITS and regression in bf16 with no
+    full-array f32 casts (the head convs compute in bf16 anyway, so the
+    values are identical — this only skips materializing two f32 copies of
+    the ~400k-anchor outputs, which costs more than the whole NMS stage at
+    1080p). Inference paths that top-k first should use this and apply
+    sigmoid to the survivors only (sigmoid is monotonic, so top-k on
+    logits == top-k on scores).
     """
     cls_all, reg_all = [], []
     shared = p.get("reg_tower") is None
@@ -94,6 +103,8 @@ def head_apply(
         reg_all.append(r.reshape(n, h * w * num_anchors, N_REG_OUTPUTS))
     cls = jnp.concatenate(cls_all, axis=1)
     reg = jnp.concatenate(reg_all, axis=1)
+    if compact:
+        return cls.astype(dtype), reg.astype(dtype)
     if apply_sigmoid:
         cls = jax.nn.sigmoid(cls.astype(jnp.float32))
     return cls, reg.astype(jnp.float32)

@@ -99,11 +99,19 @@ def forward_raw(
     dtype=jnp.bfloat16,
     apply_sigmoid: bool = True,
     stem: str = "conv7",
+    compact: bool = False,
+    min_level: int = 3,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """NHWC images -> (classification [N,A,K] (sigmoided), regression [N,A,12]).
 
     With stem="s2d" the input may be host-packed [N,H/4,W/4,48]; uint8
-    inputs are normalized on device (see normalize_on_device)."""
+    inputs are normalized on device (see normalize_on_device).
+
+    ``compact=True``: bf16 logits/regression, no sigmoid, no f32
+    materialization of the full anchor set (see heads.head_apply).
+    ``min_level``: run the heads only on pyramid levels >= this (the
+    anchor set must be generated with the same subset; inference knob,
+    training keeps 3)."""
     images = normalize_on_device(images)
     from playground3d_tpu.models.quant import is_quantized, quant_conv, resnet_apply_int8
 
@@ -116,8 +124,11 @@ def forward_raw(
     tail_conv = quant_conv if is_quantized(params["fpn"]) or is_quantized(params["heads"]) else None
     fkw = {} if tail_conv is None else {"conv": tail_conv}
     feats = fpn_apply(params["fpn"], c3, c4, c5, dtype, **fkw)
+    if min_level > 3:
+        feats = feats[min_level - 3:]
     return head_apply(
-        params["heads"], feats, num_classes, dtype=dtype, apply_sigmoid=apply_sigmoid, **fkw
+        params["heads"], feats, num_classes, dtype=dtype,
+        apply_sigmoid=apply_sigmoid, compact=compact, **fkw
     )
 
 
@@ -132,7 +143,10 @@ def _image_shape_of(images: jnp.ndarray, stem: str) -> Tuple[int, int]:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("depth", "num_classes", "pre_topk", "max_dets", "stem", "approx_topk"),
+    static_argnames=(
+        "depth", "num_classes", "pre_topk", "max_dets", "stem", "approx_topk",
+        "min_level",
+    ),
 )
 def detect_multiframe(
     params: Params,
@@ -145,6 +159,7 @@ def detect_multiframe(
     max_dets: int = 256,
     stem: str = "conv7",
     approx_topk: bool = False,
+    min_level: int = 3,
 ) -> Detections:
     """Batched multi-camera detection (reference MULTI_FRAME path,
     model.py:311-344).
@@ -156,26 +171,36 @@ def detect_multiframe(
     adaptive-threshold loop replaced by top-k.
     """
     n = images.shape[0]
-    anchors = jnp.asarray(anchors_for_shape(_image_shape_of(images, stem)))
-    cls, reg = forward_raw(params, images, depth, num_classes, stem=stem)
+    levels = tuple(range(min_level, 8))
+    anchors = jnp.asarray(anchors_for_shape(_image_shape_of(images, stem), levels))
+    # compact: bf16 logits, sigmoid deferred to the top-k survivors — the
+    # full-anchor f32 sigmoid+max used to cost more than the whole
+    # decode/top-k/NMS tail (~1.2 ms at 1080p); values are identical (the
+    # head convs emit bf16 either way, sigmoid is monotonic)
+    cls, reg = forward_raw(
+        params, images, depth, num_classes, stem=stem, compact=True,
+        min_level=min_level,
+    )
 
     a = anchors.shape[0]
-    scores = jnp.max(cls, axis=-1).reshape(-1)  # [N*A]
+    logits = jnp.max(cls, axis=-1).reshape(-1).astype(jnp.float32)  # [N*A]
 
-    # top-k FIRST, then decode/argmax only the k survivors — decoding all
-    # N*A anchors to 20 coords costs more than the whole NMS stage.
-    # approx_topk uses the TPU-optimized approx_max_k (recall 0.99 within
-    # the candidate pool; ~5x faster than exact top_k at 1080p anchor
-    # counts) — misses land in the score tail, far below the NMS keep set;
-    # non-TPU backends fall back to exact sorting, so CPU tests are exact.
+    # top-k FIRST, then decode/argmax/sigmoid only the k survivors —
+    # decoding all N*A anchors to 20 coords costs more than the whole NMS
+    # stage. approx_topk uses the TPU-optimized approx_max_k (recall 0.99
+    # within the candidate pool; ~2x faster than exact top_k at 1080p
+    # anchor counts) — misses land in the score tail, far below the NMS
+    # keep set; non-TPU backends fall back to exact sorting, so CPU tests
+    # are exact.
     k = min(pre_topk, n * a)
     if approx_topk:
-        top_scores, top_idx = jax.lax.approx_max_k(scores, k, recall_target=0.99)
+        top_logits, top_idx = jax.lax.approx_max_k(logits, k, recall_target=0.99)
     else:
-        top_scores, top_idx = jax.lax.top_k(scores, k)
+        top_logits, top_idx = jax.lax.top_k(logits, k)
+    top_scores = jax.nn.sigmoid(top_logits)
     anchor_idx = top_idx % a
     top_cam = (top_idx // a).astype(jnp.int32)
-    top_reg = reg.reshape(n * a, -1)[top_idx]
+    top_reg = reg.reshape(n * a, -1)[top_idx].astype(jnp.float32)
     top_boxes = decode_regression(top_reg, anchors[anchor_idx])  # [k,20]
     top_classes = (
         jnp.argmax(cls.reshape(n * a, -1)[top_idx], axis=-1).astype(jnp.int32)

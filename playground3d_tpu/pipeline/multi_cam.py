@@ -299,6 +299,7 @@ def make_mc_detect_step(
         det = detect_multiframe(
             det_params, frames, depth=depth, pre_topk=cfg.pre_topk,
             max_dets=cfg.max_dets, stem=stem, approx_topk=cfg.approx_topk,
+            min_level=cfg.det_min_level,
         )
         corrected = cam_times + ts_bias
         pre = parse_detections_pre(det, bank, corrected, cfg)
@@ -382,6 +383,7 @@ def make_mc_clip_step(
                 lambda f: detect_multiframe(
                     det_params, f, depth=depth, pre_topk=cfg.pre_topk,
                     max_dets=cfg.max_dets, stem=stem, approx_topk=cfg.approx_topk,
+                    min_level=cfg.det_min_level,
                 )
             )(frames[::d])  # Detections stacked on a [ceil(T/d)] axis
 

@@ -76,6 +76,7 @@ def make_full_step(
             max_dets=cfg.max_dets,
             stem=stem,
             approx_topk=cfg.approx_topk,
+            min_level=cfg.det_min_level,
         )
         parsed = parse_detections(det, bank, cam_times, cfg)
         t_ref = jnp.mean(cam_times)

@@ -58,6 +58,10 @@ class TrackerConfig:
     # TPU-optimized approximate top-k for the detection candidate pool
     # (recall 0.99; exact on CPU backends — see models/retinanet.py)
     approx_topk: bool = False
+    # lowest pyramid level the full-frame detector runs heads on
+    # (reference parity 3; 4 drops the stride-8 level = ~75% of anchors —
+    # a speed knob for scale bands without small objects)
+    det_min_level: int = 3
 
 
 @dataclass(frozen=True)

@@ -235,3 +235,31 @@ def test_forward_uint8_matches_f32(params18):
     c1, r1 = forward_raw(params18, jnp.asarray(u8), depth=18)
     c2, r2 = forward_raw(params18, jnp.asarray(f32), depth=18)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=2e-3)
+
+
+def test_detect_multiframe_min_level():
+    """min_level=4 drops the stride-8 anchors (the scale-band speed knob)
+    but keeps the output contract; levels subset matches anchor math."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from playground3d_tpu.models import retinanet_init
+    from playground3d_tpu.models.anchors import anchors_for_shape
+    from playground3d_tpu.models.retinanet import detect_multiframe
+
+    a_all = anchors_for_shape((64, 96))
+    a_sub = anchors_for_shape((64, 96), (4, 5, 6, 7))
+    n_p3 = ((64 + 7) // 8) * ((96 + 7) // 8) * 9
+    assert a_all.shape[0] - a_sub.shape[0] == n_p3
+    # the subset IS the tail of the full set (levels are concatenated in order)
+    np.testing.assert_array_equal(a_all[n_p3:], a_sub)
+
+    params = retinanet_init(jax.random.PRNGKey(0), depth=18, stem="s2d")
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 255, (1, 16, 24, 48), dtype=np.uint8))
+    det = detect_multiframe(
+        params, frames, depth=18, pre_topk=64, max_dets=16, stem="s2d", min_level=4
+    )
+    assert det.scores.shape == (16,)
+    assert bool(jnp.all(jnp.isfinite(det.scores)))
