@@ -69,6 +69,9 @@ def main() -> None:
     # quality-neutral; together 261 -> 302 fps on v5e
     INT8 = os.environ.get("BENCH_INT8", "1") == "1"
     APPROX_TOPK = os.environ.get("BENCH_APPROX_TOPK", "1") == "1"
+    # 3 = reference anchor parity; 4 drops the stride-8 pyramid level
+    # (scale-band deployment knob, see cfg.det_min_level)
+    MIN_LEVEL = int(os.environ.get("BENCH_MIN_LEVEL", "3"))
 
     # synthetic camera registry (geometry constants only)
     rng = np.random.default_rng(7)
@@ -92,7 +95,7 @@ def main() -> None:
     cfg = TrackerConfig(
         max_tracks=64, max_dets=48, pre_topk=1024, x_range=(300.0, 800.0),
         det_step=DET_STEP, skip_step=1, crop_slots=32, cd_max=16, cs=112,
-        estimate_ts_bias=False, approx_topk=APPROX_TOPK,
+        estimate_ts_bias=False, approx_topk=APPROX_TOPK, det_min_level=MIN_LEVEL,
     )
     kfp = default_params()
     bank = bank_from_registry(reg)

@@ -38,6 +38,10 @@ def main(argv=None):
         help="PTQ the trained backbone to int8 before tracking (models/quant)",
     )
     ap.add_argument(
+        "--det-min-level", type=int, default=3,
+        help="lowest pyramid level for full-frame detection (4 drops stride-8)",
+    )
+    ap.add_argument(
         "--approx-topk", action="store_true",
         help="use lax.approx_max_k candidate pooling in the tracker",
     )
@@ -133,6 +137,7 @@ def main(argv=None):
         f_init=2,
         sigma_d=0.25,
         approx_topk=args.approx_topk,
+        det_min_level=args.det_min_level,
     )
     tracker = SingleCameraTracker(
         reg, "p1c1", cfg=tcfg, det_params=params, depth=args.depth, stem=args.stem

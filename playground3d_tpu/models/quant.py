@@ -126,6 +126,12 @@ def quant_conv_bn(pc: Params, pbn: Params, x, stride: int = 1, relu: bool = Fals
 
     ``x`` is float; it is requantized with the static input scale. The
     int8xint8->int32 convolution hits the MXU's double-rate int8 path.
+
+    Dequantized activations are emitted as **bf16** — f32 intermediates
+    double the elementwise/HBM traffic of every block (133 MB per layer1
+    tensor at 1080p) and were eating the entire int8 MXU win; the scale
+    math stays f32, only the stored activation narrows (the bf16 path's
+    own precision).
     """
     if "wq" not in pc:
         y = bn_apply(pbn, conv_apply(pc, x, stride, dtype=jnp.bfloat16))
@@ -140,13 +146,13 @@ def quant_conv_bn(pc: Params, pbn: Params, x, stride: int = 1, relu: bool = Fals
     inv = jax.lax.rsqrt(pbn["var"] + 1e-5) * pbn["scale"]
     scale = xs * pc["ws"] * inv  # dequant + BN fold, [c_out]
     offset = pbn["offset"] - pbn["mean"] * inv
-    out = y.astype(jnp.float32) * scale + offset
+    out = (y.astype(jnp.float32) * scale + offset).astype(jnp.bfloat16)
     return jax.nn.relu(out) if relu else out
 
 
 def resnet_apply_int8(params: Params, x, depth: int, stem: str = "conv7"):
     """Quantized twin of :func:`resnet.resnet_apply` (same signature shape)."""
-    return resnet_apply(params, x, depth, jnp.float32, stem, conv_bn=quant_conv_bn)
+    return resnet_apply(params, x, depth, jnp.bfloat16, stem, conv_bn=quant_conv_bn)
 
 
 # ---- FPN + head ("tail") quantization --------------------------------------
@@ -197,7 +203,7 @@ def quant_conv(pc: Params, x, stride: int = 1, padding="SAME", dtype=jnp.bfloat1
     out = y.astype(jnp.float32) * (xs * pc["ws"])
     if "b" in pc:
         out = out + pc["b"]
-    return out
+    return out.astype(jnp.bfloat16)  # see quant_conv_bn: bf16 activations
 
 
 def _calibrating_conv(store: dict):
