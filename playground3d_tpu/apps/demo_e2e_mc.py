@@ -79,6 +79,14 @@ def main(argv=None):
     ap.add_argument("--width", type=int, default=768)
     ap.add_argument("--zoom", type=float, default=1.5)
     ap.add_argument("--workers", type=int, default=4)
+    ap.add_argument(
+        "--quantize", action="store_true",
+        help="PTQ both trained networks to int8 before tracking (models/quant)",
+    )
+    ap.add_argument(
+        "--approx-topk", action="store_true",
+        help="approx_max_k candidate pooling in the detect branch",
+    )
     ap.add_argument("--det-ckpt", default=None, help="skip detector training")
     ap.add_argument("--crop-ckpt", default=None, help="skip crop training")
     ap.add_argument("--out-prefix", default="/tmp/demo_mc")
@@ -145,6 +153,19 @@ def main(argv=None):
         )
         save_params(args.out_prefix + "_crop.npz", crop_params)
 
+    if args.quantize:
+        from playground3d_tpu.models.quant import quantize_detector
+
+        calib, _ = ds.batch_factory(args.batch)()
+        det_params = quantize_detector(det_params, calib, args.depth, stem="s2d")
+        calib_crop_ds = SyntheticDetectionDataset(
+            image_shape=shape, n_objects=6, seed=1, augment=True, zoom=args.zoom,
+            crop_mode=True, crop_size=112,
+        )
+        crop_calib, _ = calib_crop_ds.batch_factory(args.batch)()
+        crop_params = quantize_detector(crop_params, crop_calib, args.depth, stem="conv7")
+        log("both networks quantized to int8 (PTQ)")
+
     # 3. multi-camera tracking with both trained networks
     from playground3d_tpu.data.synthetic import SyntheticScene, render_frame
     from playground3d_tpu.evaluation import geometry_np as G
@@ -166,7 +187,7 @@ def main(argv=None):
     tcfg = TrackerConfig(
         max_tracks=32, max_dets=48, pre_topk=1024, x_range=(lo - 30, hi + 30),
         f_init=2, sigma_d=0.25, sigma_c=0.2, det_step=args.det_step, cd_max=16,
-        estimate_ts_bias=False, merge_dist_ft=12.0,
+        estimate_ts_bias=False, merge_dist_ft=12.0, approx_topk=args.approx_topk,
     )
     tracker = MultiCameraTracker(
         reg, cameras, cfg=tcfg, det_params=det_params, crop_params=crop_params,

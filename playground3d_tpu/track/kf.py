@@ -151,6 +151,43 @@ def kf_predict(slots: KFSlots, dt: jnp.ndarray, params: KFParams) -> KFSlots:
     )
 
 
+def _spd_solve(S: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Solve S X = B for batched small SPD matrices ([N,m,m] @ [N,m,k])
+    via a statically unrolled Cholesky + two substitutions.
+
+    Everything is elementwise over the batch (no pivot loops, no
+    data-dependent control flow), so XLA fuses it into a handful of VPU
+    ops — orders of magnitude lower latency than batched LU for m<=6.
+    """
+    m = S.shape[-1]
+    # L such that L L^T = S, column by column (static python loops)
+    L = [[None] * m for _ in range(m)]
+    for i in range(m):
+        for j in range(i + 1):
+            s = S[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+            else:
+                L[i][j] = s / L[j][j]
+    # forward substitution: L Y = B
+    Y = [None] * m
+    for i in range(m):
+        acc = B[..., i, :]
+        for k in range(i):
+            acc = acc - L[i][k][..., None] * Y[k]
+        Y[i] = acc / L[i][i][..., None]
+    # back substitution: L^T X = Y
+    X = [None] * m
+    for i in reversed(range(m)):
+        acc = Y[i]
+        for k in range(i + 1, m):
+            acc = acc - L[k][i][..., None] * X[k]
+        X[i] = acc / L[i][i][..., None]
+    return jnp.stack(X, axis=-2)
+
+
 @functools.partial(jax.jit, static_argnames=("measurement_idx",))
 def kf_update(
     slots: KFSlots,
@@ -183,11 +220,11 @@ def kf_update(
     y = z + mu_R[None] - jnp.einsum("mj,nj->nm", H, slots.x)
     # S = HPH^T + R
     S = jnp.einsum("ij,njk,lk->nil", H, slots.P, H) + R[None]
-    # K = P H^T S^-1  — computed via solve (S K^T = H P^T) for stability
+    # K = P H^T S^-1 — S is SPD, solved by a statically-unrolled Cholesky
+    # (TPU batched LU is a pivoting loop; latency-bound at [N,5,5] inside
+    # the per-frame scan, this solve alone dominated the KF update)
     PHt = jnp.einsum("nij,kj->nik", slots.P, H)  # [N,6,m]
-    K = jnp.linalg.solve(
-        S, PHt.transpose(0, 2, 1)
-    ).transpose(0, 2, 1)  # [N,6,m]
+    K = _spd_solve(S, PHt.transpose(0, 2, 1)).transpose(0, 2, 1)  # [N,6,m]
     x_new = slots.x + jnp.einsum("nim,nm->ni", K, y)
     I = jnp.eye(STATE_SIZE, dtype=slots.P.dtype)
     P_new = jnp.einsum("nij,njk->nik", I[None] - jnp.einsum("nim,mj->nij", K, H), slots.P)

@@ -149,3 +149,21 @@ def test_dead_slots_untouched(rng):
     live = kf.slot_of[0]
     dead = [i for i in range(8) if i != live]
     np.testing.assert_allclose(x_after[dead], x_before[dead])
+
+
+def test_spd_solve_matches_linalg():
+    """_spd_solve (unrolled Cholesky) == jnp.linalg.solve on random SPD
+    batches for both measurement sizes."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from playground3d_tpu.track.kf import _spd_solve
+
+    rng = np.random.default_rng(0)
+    for m in (3, 5, 6):
+        A = rng.normal(0, 1, (32, m, m)).astype(np.float32)
+        S = A @ A.transpose(0, 2, 1) + 0.5 * np.eye(m, dtype=np.float32)
+        B = rng.normal(0, 1, (32, m, 4)).astype(np.float32)
+        want = np.linalg.solve(S, B)
+        got = np.asarray(_spd_solve(jnp.asarray(S), jnp.asarray(B)))
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
