@@ -116,6 +116,12 @@ def assign_auction(
 
         all_assigned = ~jnp.any(col_of_row < 0)
         shrink = all_assigned & (eps > eps_final)
+        # x0.1 measured fastest on tie-heavy inputs: more aggressive
+        # shrinks (x0.02) leave stage-(i-1) prices too far from the new
+        # equilibrium relative to the smaller eps, and reconvergence rounds
+        # dominate (63.7 ms vs 15.8 ms on a sparse 48x64 benefit). Callers
+        # with gated matches should pre-mask hopeless rows/cols instead
+        # (tracker_state.associate_and_update: 15.8 ms -> 0.05 ms).
         new_eps = jnp.where(shrink, eps * 0.1, eps)
         # restart assignments when eps shrinks (standard eps-scaling)
         col_of_row = jnp.where(shrink, jnp.full_like(col_of_row, -1), col_of_row)
