@@ -151,8 +151,144 @@ def quant_conv_bn(pc: Params, pbn: Params, x, stride: int = 1, relu: bool = Fals
 
 
 def resnet_apply_int8(params: Params, x, depth: int, stem: str = "conv7"):
-    """Quantized twin of :func:`resnet.resnet_apply` (same signature shape)."""
+    """Quantized twin of :func:`resnet.resnet_apply` (same signature shape).
+
+    Hook-based (activations round-trip through bf16 between convs); kept
+    for calibration and as the reference int8 semantics. The fast path is
+    :func:`resnet_apply_int8_chained`."""
     return resnet_apply(params, x, depth, jnp.bfloat16, stem, conv_bn=quant_conv_bn)
+
+
+# ---- chained int8: activations stay int8 in HBM ---------------------------
+#
+# The hook path dequantizes every conv output to bf16 and requantizes at
+# the next conv's input — at 1080p layer1 (270x480 spatial) that is >1 GB
+# of float round-trips per forward, which ate the int8 MXU win entirely
+# (backbone int8 == bf16 at 2.1 ms). The chained path exploits linearity:
+# a quantized conv can consume ANY int8 tensor with a known scale by
+# folding that scale into its dequant epilogue, so producers emit int8 at
+# the consumer's calibrated activation scale and HBM sees int8 end to
+# end. Residual adds dequantize both operands inside one fused elementwise
+# kernel and requantize the relu'd sum for the next block. Numerics match
+# the hook path up to one fewer bf16 rounding per tensor.
+
+
+def _chain_qconv(pc, pbn, cur, stride, relu, emit_xs):
+    """One conv+BN(+relu) on a chained value.
+
+    ``cur`` is ("f", x_float) or ("i8", x_q, scale); ``emit_xs`` is the
+    consumer's activation scale (emit int8) or None (emit bf16)."""
+    if "wq" not in pc:
+        x = _chain_f(cur)
+        y = bn_apply(pbn, conv_apply(pc, x, stride, dtype=jnp.bfloat16))
+        if relu:
+            y = jax.nn.relu(y)
+        if emit_xs is not None:
+            q = jnp.clip(jnp.round(y.astype(jnp.float32) / emit_xs), -127.0, 127.0)
+            return ("i8", q.astype(jnp.int8), emit_xs)
+        return ("f", y)
+    if cur[0] == "f":
+        xs = pc["xs"]
+        xq = jnp.clip(
+            jnp.round(cur[1].astype(jnp.float32) / xs), -127.0, 127.0
+        ).astype(jnp.int8)
+        s_in = xs
+    else:
+        xq, s_in = cur[1], cur[2]
+    y = jax.lax.conv_general_dilated(
+        xq, pc["wq"], (stride, stride), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    inv = jax.lax.rsqrt(pbn["var"] + 1e-5) * pbn["scale"]
+    scale = s_in * pc["ws"] * inv  # fold the ACTUAL input scale
+    offset = pbn["offset"] - pbn["mean"] * inv
+    out = y.astype(jnp.float32) * scale + offset
+    if relu:
+        out = jax.nn.relu(out)
+    if emit_xs is not None:
+        q = jnp.clip(jnp.round(out / emit_xs), -127.0, 127.0)
+        return ("i8", q.astype(jnp.int8), emit_xs)
+    return ("f", out.astype(jnp.bfloat16))
+
+
+def _chain_f(cur):
+    """Chained value -> float tensor (dequantize if int8)."""
+    if cur[0] == "f":
+        return cur[1]
+    return cur[1].astype(jnp.bfloat16) * cur[2].astype(jnp.bfloat16)
+
+
+def _xs_of(pc):
+    return pc["xs"] if "wq" in pc else None
+
+
+def _chain_requant(x_float, emit_xs):
+    if emit_xs is None:
+        return ("f", x_float)
+    q = jnp.clip(jnp.round(x_float.astype(jnp.float32) / emit_xs), -127.0, 127.0)
+    return ("i8", q.astype(jnp.int8), emit_xs)
+
+
+def resnet_apply_int8_chained(params: Params, x, depth: int, stem: str = "conv7"):
+    """Chained-int8 twin of :func:`resnet.resnet_apply` -> (C3, C4, C5).
+
+    Mirrors resnet_apply's exact block structure (resnet.py:143-180); the
+    conv/BN/relu placements are the contract. Stage outputs return as
+    bf16 for the FPN.
+    """
+    from playground3d_tpu.models.resnet import (
+        LAYER_SPECS,
+        max_pool,
+        space_to_depth,
+    )
+
+    block_type, layers = LAYER_SPECS[depth]
+
+    if stem == "s2d":
+        if x.shape[-1] == 3:
+            x = space_to_depth(x, 4)
+        cur = _chain_qconv(params["conv1"], params["bn1"], ("f", x), 1, True, None)
+    else:
+        cur = _chain_qconv(params["conv1"], params["bn1"], ("f", x), 2, True, None)
+        cur = ("f", max_pool(_chain_f(cur), 3, 2))
+
+    def block(bp, cur, stride, out_xs):
+        if block_type == "basic":
+            h = _chain_qconv(bp["conv1"], bp["bn1"], cur, stride, True, _xs_of(bp["conv2"]))
+            hf = _chain_f(_chain_qconv(bp["conv2"], bp["bn2"], h, 1, False, None))
+        else:
+            h = _chain_qconv(bp["conv1"], bp["bn1"], cur, 1, True, _xs_of(bp["conv2"]))
+            h = _chain_qconv(bp["conv2"], bp["bn2"], h, stride, True, _xs_of(bp["conv3"]))
+            hf = _chain_f(_chain_qconv(bp["conv3"], bp["bn3"], h, 1, False, None))
+        if "down_conv" in bp:
+            res = _chain_f(
+                _chain_qconv(bp["down_conv"], bp["down_bn"], cur, stride, False, None)
+            )
+        else:
+            res = _chain_f(cur)
+        out = jax.nn.relu(hf + res)
+        return _chain_requant(out, out_xs)
+
+    feats = []
+    stages = [params[f"layer{i + 1}"] for i in range(4)]
+    for stage_i, blocks in enumerate(stages):
+        stride = 1 if stage_i == 0 else 2
+        for bi, bp in enumerate(blocks):
+            # the block output's consumer: next block's conv1 (same stage),
+            # or the next stage's first block conv1. C3/C4/C5 (stages 2-4)
+            # also feed the FPN laterals, so those stage outputs emit bf16;
+            # layer1's output is chain-internal and stays int8.
+            if bi + 1 < len(blocks):
+                out_xs = _xs_of(blocks[bi + 1]["conv1"])
+            elif stage_i == 0:
+                out_xs = _xs_of(stages[1][0]["conv1"])
+            else:
+                out_xs = None  # C3/C4/C5: bf16 for the FPN
+            cur = block(bp, cur, stride if bi == 0 else 1, out_xs)
+        if stage_i >= 1:
+            feats.append(_chain_f(cur))
+    return feats[0], feats[1], feats[2]
 
 
 # ---- FPN + head ("tail") quantization --------------------------------------
@@ -287,6 +423,10 @@ def quantize_detector(
         a = calibrate_backbone(params["backbone"], im, depth, stem)
         absmax = a if absmax is None else jnp.maximum(absmax, a)
     out = dict(params)
+    # min_ch=128: narrow early convs stay bf16. min_ch=64 (quantizing the
+    # layer1 convs for an unbroken int8 chain) measured only +4 fps and
+    # cost 0.027 MOTA on the e2e A/B — the narrow convs carry the most
+    # activation signal; the chained apply bridges them through bf16.
     out["backbone"] = quantize_backbone(params["backbone"], absmax, depth)
     if tail:
         bb = jax.jit(

@@ -113,10 +113,14 @@ def forward_raw(
     anchor set must be generated with the same subset; inference knob,
     training keeps 3)."""
     images = normalize_on_device(images)
-    from playground3d_tpu.models.quant import is_quantized, quant_conv, resnet_apply_int8
+    from playground3d_tpu.models.quant import (
+        is_quantized,
+        quant_conv,
+        resnet_apply_int8_chained,
+    )
 
     if is_quantized(params["backbone"]):
-        c3, c4, c5 = resnet_apply_int8(params["backbone"], images, depth, stem=stem)
+        c3, c4, c5 = resnet_apply_int8_chained(params["backbone"], images, depth, stem=stem)
     else:
         c3, c4, c5 = resnet_apply(params["backbone"], images, depth, dtype, stem=stem)
     # fpn/heads dispatch per-conv on the ``wq`` key, so a mixed tree (e.g.

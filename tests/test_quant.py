@@ -137,3 +137,45 @@ def test_quantize_detector_full_tree_dispatch():
         np.abs(np.asarray(reg_f)).mean() + 1e-6
     )
     assert rel < 0.35, f"full-tree quant drifted too far from f32: {rel}"
+
+
+def test_chained_int8_matches_hook_path():
+    """resnet_apply_int8_chained == the hook-based int8 path (up to one
+    fewer bf16 rounding per tensor) and close to f32."""
+    from playground3d_tpu.models.quant import resnet_apply_int8_chained
+
+    depth = 50
+    params = resnet_init(jax.random.PRNGKey(5), depth, stem="s2d")
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(0, 1, (1, 16, 24, 48)).astype(np.float32))
+
+    absmax = calibrate_backbone(params, x, depth, stem="s2d", dtype=jnp.float32)
+    q = quantize_backbone(params, absmax, depth, min_ch=64)
+
+    ref = resnet_apply(params, x, depth, jnp.float32, stem="s2d")
+    hook = resnet_apply_int8(q, x, depth, stem="s2d")
+    chain = resnet_apply_int8_chained(q, x, depth, stem="s2d")
+    for r, h, c in zip(ref, hook, chain):
+        r, h, c = (np.asarray(v, np.float32) for v in (r, h, c))
+        rel_f32 = np.abs(r - c).mean() / (np.abs(r).mean() + 1e-6)
+        rel_hook = np.abs(h - c).mean() / (np.abs(h).mean() + 1e-6)
+        assert rel_f32 < 0.15, f"chained drifted from f32: {rel_f32}"
+        assert rel_hook < 0.08, f"chained drifted from hook int8: {rel_hook}"
+
+
+def test_chained_int8_basic_blocks():
+    """resnet18 (basic blocks) chained path runs and tracks f32."""
+    from playground3d_tpu.models.quant import resnet_apply_int8_chained
+
+    depth = 18
+    params = resnet_init(jax.random.PRNGKey(6), depth, stem="s2d")
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 24, 48)).astype(np.float32))
+    absmax = calibrate_backbone(params, x, depth, stem="s2d", dtype=jnp.float32)
+    q = quantize_backbone(params, absmax, depth, min_ch=64)
+    ref = resnet_apply(params, x, depth, jnp.float32, stem="s2d")
+    chain = resnet_apply_int8_chained(q, x, depth, stem="s2d")
+    for r, c in zip(ref, chain):
+        r, c = np.asarray(r, np.float32), np.asarray(c, np.float32)
+        rel = np.abs(r - c).mean() / (np.abs(r).mean() + 1e-6)
+        assert rel < 0.15, rel
