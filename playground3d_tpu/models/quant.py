@@ -230,6 +230,71 @@ def _chain_requant(x_float, emit_xs):
     return ("i8", q.astype(jnp.int8), emit_xs)
 
 
+def _chain_qconv_b(pc, cur, stride, relu, emit_xs, dtype=jnp.bfloat16):
+    """Biased-conv twin of :func:`_chain_qconv` (FPN/head convs: bias, no
+    BN)."""
+    if "wq" not in pc:
+        y = conv_apply(pc, _chain_f(cur), stride, dtype=dtype)
+        if relu:
+            y = jax.nn.relu(y)
+        return _chain_requant(y, emit_xs) if emit_xs is not None else ("f", y)
+    if cur[0] == "f":
+        xs = pc["xs"]
+        xq = jnp.clip(
+            jnp.round(cur[1].astype(jnp.float32) / xs), -127.0, 127.0
+        ).astype(jnp.int8)
+        s_in = xs
+    else:
+        xq, s_in = cur[1], cur[2]
+    y = jax.lax.conv_general_dilated(
+        xq, pc["wq"], (stride, stride), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    out = y.astype(jnp.float32) * (s_in * pc["ws"])
+    if "b" in pc:
+        out = out + pc["b"]
+    if relu:
+        out = jax.nn.relu(out)
+    if emit_xs is not None:
+        q = jnp.clip(jnp.round(out / emit_xs), -127.0, 127.0)
+        return ("i8", q.astype(jnp.int8), emit_xs)
+    return ("f", out.astype(jnp.bfloat16))
+
+
+def head_apply_int8_chained(
+    p: Params, features, num_classes: int, num_anchors: int = 9
+):
+    """Chained-int8 twin of heads.head_apply(compact=True): tower
+    activations stay int8 between convs (each conv emits at its
+    consumer's calibrated scale; with a shared tower the final tower
+    tensor feeds both output convs, which fold the SAME producer scale).
+    Returns bf16 logits/regression — the compact contract."""
+    from playground3d_tpu.models.heads import N_REG_OUTPUTS
+
+    shared = p.get("reg_tower") is None
+
+    def tower(tw, f, out_pc):
+        cur = ("f", f)
+        for i, c in enumerate(tw):
+            nxt = tw[i + 1] if i + 1 < len(tw) else out_pc
+            cur = _chain_qconv_b(c, cur, 1, True, _xs_of(nxt))
+        return cur
+
+    cls_all, reg_all = [], []
+    for f in features:
+        n, h, w, _ = f.shape
+        ct = tower(p["cls_tower"], f, p["cls_out"])
+        rt = ct if shared else tower(p["reg_tower"], f, p["reg_out"])
+        c = _chain_f(_chain_qconv_b(p["cls_out"], ct, 1, False, None))
+        r = _chain_f(_chain_qconv_b(p["reg_out"], rt, 1, False, None))
+        cls_all.append(c.reshape(n, h * w * num_anchors, num_classes))
+        reg_all.append(r.reshape(n, h * w * num_anchors, N_REG_OUTPUTS))
+    cls = jnp.concatenate(cls_all, axis=1)
+    reg = jnp.concatenate(reg_all, axis=1)
+    return cls.astype(jnp.bfloat16), reg.astype(jnp.bfloat16)
+
+
 def resnet_apply_int8_chained(params: Params, x, depth: int, stem: str = "conv7"):
     """Chained-int8 twin of :func:`resnet.resnet_apply` -> (C3, C4, C5).
 

@@ -125,11 +125,17 @@ def forward_raw(
         c3, c4, c5 = resnet_apply(params["backbone"], images, depth, dtype, stem=stem)
     # fpn/heads dispatch per-conv on the ``wq`` key, so a mixed tree (e.g.
     # quantized towers, bf16 output convs) runs each conv on its right path
-    tail_conv = quant_conv if is_quantized(params["fpn"]) or is_quantized(params["heads"]) else None
+    heads_q = is_quantized(params["heads"])
+    tail_conv = quant_conv if is_quantized(params["fpn"]) or heads_q else None
     fkw = {} if tail_conv is None else {"conv": tail_conv}
     feats = fpn_apply(params["fpn"], c3, c4, c5, dtype, **fkw)
     if min_level > 3:
         feats = feats[min_level - 3:]
+    if compact and heads_q:
+        # chained-int8 towers (activations stay int8 between tower convs)
+        from playground3d_tpu.models.quant import head_apply_int8_chained
+
+        return head_apply_int8_chained(params["heads"], feats, num_classes)
     return head_apply(
         params["heads"], feats, num_classes, dtype=dtype,
         apply_sigmoid=apply_sigmoid, compact=compact, **fkw

@@ -56,7 +56,7 @@ def main(C=4, det_step=3):
     cfg = TrackerConfig(
         max_tracks=64, max_dets=48, pre_topk=1024, x_range=(300.0, 800.0 + 200.0 * C),
         det_step=det_step, skip_step=1, crop_slots=32, cd_max=16, cs=112,
-        estimate_ts_bias=False,
+        estimate_ts_bias=False, approx_topk=True,
     )
     kfp = default_params()
     bank = bank_from_registry(reg)
@@ -64,13 +64,21 @@ def main(C=4, det_step=3):
     crop_params = retinanet_init(
         jax.random.PRNGKey(1), depth=18, stem="s2d", tower_depth=2, shared_tower=True
     )
+
+    raw = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+    packed = pack_s2d(raw)
+
+    from playground3d_tpu.models.quant import quantize_detector
+
+    det_params = quantize_detector(det_params, packed[None], 50, stem="s2d")
+    crop_params = quantize_detector(
+        crop_params, rng.integers(0, 256, (4, 28, 28, 48), dtype=np.uint8), 18, stem="s2d"
+    )
     clip = make_mc_clip_step(
         det_params, 50, bank, jnp.asarray(np.asarray(centers, np.float32)), kfp, cfg,
         crop_params=crop_params, crop_depth=18, stem="s2d", crop_stem="s2d",
     )
 
-    raw = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
-    packed = pack_s2d(raw)
     frames = jnp.asarray(np.broadcast_to(packed[None, None], (T_CLIP, C) + packed.shape).copy())
     base_times = jnp.asarray(
         np.broadcast_to(np.arange(T_CLIP, dtype=np.float32)[:, None] / 30.0, (T_CLIP, C)).copy()
@@ -82,13 +90,21 @@ def main(C=4, det_step=3):
         @jax.jit
         def loop(state, bias, frames, base_times):
             def body(i, carry):
-                st, tb = carry
+                # frames ride the carry with one pixel poked per iteration;
+                # loop-invariant frames would let XLA hoist the detector out
+                # of the fori_loop and time nothing (see bench.py)
+                st, tb, fr = carry
+                fr = jax.lax.dynamic_update_slice(
+                    fr,
+                    (i % 251).astype(fr.dtype).reshape((1,) * fr.ndim),
+                    (0,) * fr.ndim,
+                )
                 t = base_times + (i * T_CLIP).astype(jnp.float32) / 30.0
-                st2, tb2, _ = clip(st, tb, frames, t, i * T_CLIP)
-                return st2, tb2
+                st2, tb2, _ = clip(st, tb, fr, t, i * T_CLIP)
+                return st2, tb2, fr
 
-            st, tb = jax.lax.fori_loop(0, n, body, (state, bias))
-            return jnp.sum(st.kf.x) + jnp.sum(tb)
+            st, tb, fr = jax.lax.fori_loop(0, n, body, (state, bias, frames))
+            return jnp.sum(st.kf.x) + jnp.sum(tb) + jnp.sum(fr[0, 0, 0, 0, 0]).astype(jnp.float32)
 
         return loop
 

@@ -179,3 +179,36 @@ def test_chained_int8_basic_blocks():
         r, c = np.asarray(r, np.float32), np.asarray(c, np.float32)
         rel = np.abs(r - c).mean() / (np.abs(r).mean() + 1e-6)
         assert rel < 0.15, rel
+
+
+def test_chained_heads_match_hook_path():
+    """head_apply_int8_chained == hook-path int8 heads (compact contract)."""
+    from playground3d_tpu.models.quant import (
+        calibrate_tail,
+        head_apply_int8_chained,
+        quant_conv,
+        quantize_tail,
+    )
+    from playground3d_tpu.models.heads import head_apply
+    from playground3d_tpu.models.resnet import resnet_apply
+    from playground3d_tpu.models.fpn import fpn_apply
+
+    for shared in (False, True):
+        params = retinanet_init(
+            jax.random.PRNGKey(7 + shared), depth=18, stem="s2d",
+            shared_tower=shared, tower_depth=2,
+        )
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.normal(0, 1, (1, 32, 48, 48)).astype(np.float32))
+        c3, c4, c5 = resnet_apply(params["backbone"], x, 18, jnp.float32, "s2d")
+        absmax = calibrate_tail(params, c3, c4, c5, num_classes=8)
+        q = quantize_tail(params, absmax)
+        feats = fpn_apply(q["fpn"], c3, c4, c5, jnp.float32, conv=quant_conv)
+        hc, hr = head_apply(
+            q["heads"], feats, 8, conv=quant_conv, compact=True
+        )
+        cc, cr = head_apply_int8_chained(q["heads"], feats, 8)
+        for hook, chain in ((hc, cc), (hr, cr)):
+            hook, chain = np.asarray(hook, np.float32), np.asarray(chain, np.float32)
+            rel = np.abs(hook - chain).mean() / (np.abs(hook).mean() + 1e-6)
+            assert rel < 0.08, f"chained heads drifted (shared={shared}): {rel}"
