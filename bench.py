@@ -72,6 +72,15 @@ def main() -> None:
     # 3 = reference anchor parity; 4 drops the stride-8 pyramid level
     # (scale-band deployment knob, see cfg.det_min_level)
     MIN_LEVEL = int(os.environ.get("BENCH_MIN_LEVEL", "3"))
+    # straight-line clip (no scan/switch; requires clip-aligned frame0).
+    # Measured neutral on v5e (337.9 vs 341.5 scan) — the conditional
+    # boundary is NOT where the in-scan overhead lives; kept as a knob.
+    UNROLL = os.environ.get("BENCH_UNROLL", "0") == "1"
+    TS_BIAS = os.environ.get("BENCH_TS_BIAS", "0") == "1"
+    # candidate pool 512: quality-identical to 1024 on the e2e A/B
+    # (348.3 vs 341.5 fps); 256 adds only +1.8 fps and risks truncating
+    # dense multi-camera scenes (the pool is shared across cameras)
+    PRE_TOPK = int(os.environ.get("BENCH_PRE_TOPK", "512"))
 
     # synthetic camera registry (geometry constants only)
     rng = np.random.default_rng(7)
@@ -93,9 +102,9 @@ def main() -> None:
     reg.add_camera("p1c1", im, sp, np.array([[1e6, cy], [cx, 1e6], vp_z]))
 
     cfg = TrackerConfig(
-        max_tracks=64, max_dets=48, pre_topk=1024, x_range=(300.0, 800.0),
+        max_tracks=64, max_dets=48, pre_topk=PRE_TOPK, x_range=(300.0, 800.0),
         det_step=DET_STEP, skip_step=1, crop_slots=32, cd_max=16, cs=112,
-        estimate_ts_bias=False, approx_topk=APPROX_TOPK, det_min_level=MIN_LEVEL,
+        estimate_ts_bias=TS_BIAS, approx_topk=APPROX_TOPK, det_min_level=MIN_LEVEL,
     )
     kfp = default_params()
     bank = bank_from_registry(reg)
@@ -122,7 +131,7 @@ def main() -> None:
     clip = make_mc_clip_step(
         det_params, DEPTH, bank, centers, kfp, cfg,
         crop_params=crop_params, crop_depth=CROP_DEPTH, stem=STEM, crop_stem=STEM,
-        batch_detects=BATCH_DETECTS,
+        batch_detects=BATCH_DETECTS, unroll=UNROLL,
     )
     frames = jnp.asarray(
         np.broadcast_to(packed[None, None], (T_CLIP, 1) + packed.shape).copy()

@@ -37,6 +37,7 @@ def main(argv=None):
         "--quantize", action="store_true",
         help="PTQ the trained backbone to int8 before tracking (models/quant)",
     )
+    ap.add_argument("--pre-topk", type=int, default=1024)
     ap.add_argument(
         "--det-min-level", type=int, default=3,
         help="lowest pyramid level for full-frame detection (4 drops stride-8)",
@@ -132,7 +133,7 @@ def main(argv=None):
     tcfg = TrackerConfig(
         max_tracks=32,
         max_dets=32,
-        pre_topk=1024,
+        pre_topk=args.pre_topk,
         x_range=(430.0, 700.0),
         f_init=2,
         sigma_d=0.25,

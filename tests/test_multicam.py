@@ -567,3 +567,55 @@ def test_session_mode_cli_end_to_end(tmp_path, toy_cameras3):
 
     headers, _ = load_i24_csv(out)
     assert headers[0] == "Frame #"
+
+
+def test_mc_clip_unrolled_matches_scan(toy_cameras3):
+    """unroll=True replaces the scan+switch with a straight-line program;
+    with a clip-aligned frame0 the branch schedule is identical, so the
+    outputs must match the scan clip exactly."""
+    from playground3d_tpu.models import retinanet_init
+    from playground3d_tpu.models.resnet import space_to_depth
+    from playground3d_tpu.pipeline.multi_cam import make_mc_clip_step
+    from playground3d_tpu.pipeline.tracker_state import init_track_state
+    from playground3d_tpu.track.kf import default_params
+    from playground3d_tpu.pipeline.camera_bank import bank_from_registry
+
+    reg = toy_cameras3["registry"]
+    cfg = TrackerConfig(
+        max_tracks=16, max_dets=16, pre_topk=128, x_range=(320.0, 880.0),
+        f_init=1, det_step=3, skip_step=1, cd_max=8, cs=32, crop_slots=8,
+        estimate_ts_bias=True,
+    )
+    kfp = default_params()
+    bank = bank_from_registry(reg)
+    centers = jnp.asarray(toy_cameras3["centers"])
+    det_params = retinanet_init(jax.random.PRNGKey(0), depth=18, stem="s2d")
+    crop_params = retinanet_init(jax.random.PRNGKey(1), depth=18, stem="s2d")
+
+    kw = dict(crop_params=crop_params, crop_depth=18, stem="s2d", crop_stem="s2d")
+    clip = make_mc_clip_step(det_params, 18, bank, centers, kfp, cfg, **kw)
+    clip_u = make_mc_clip_step(det_params, 18, bank, centers, kfp, cfg, unroll=True, **kw)
+
+    rng = np.random.default_rng(4)
+    T, C = 6, len(toy_cameras3["ranges"])
+    raw = rng.uniform(-1, 1, (T, C, 64, 96, 3)).astype(np.float32)
+    s2d = np.asarray(
+        jax.jit(space_to_depth)(jnp.asarray(raw.reshape(T * C, 64, 96, 3)))
+    ).reshape(T, C, 16, 24, 48)
+    cam_times = (np.arange(T)[:, None] / 30.0 + np.zeros((1, C))).astype(np.float32)
+
+    state0 = init_track_state(cfg.max_tracks)
+    bias0 = jnp.zeros((C,), jnp.float32)
+    out_a = clip(state0, bias0, jnp.asarray(s2d), jnp.asarray(cam_times), jnp.int32(0))
+    out_u = clip_u(state0, bias0, jnp.asarray(s2d), jnp.asarray(cam_times), jnp.int32(0))
+
+    np.testing.assert_allclose(
+        np.asarray(out_a[2].states7), np.asarray(out_u[2].states7), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_a[2].raw_mask), np.asarray(out_u[2].raw_mask)
+    )
+    np.testing.assert_allclose(np.asarray(out_a[1]), np.asarray(out_u[1]), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_a[0].kf.x), np.asarray(out_u[0].kf.x), rtol=1e-5, atol=1e-5
+    )
