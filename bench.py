@@ -50,7 +50,10 @@ def main() -> None:
     H, W = 1080, 1920
     DEPTH = 50
     CROP_DEPTH = 18
-    STEM = "s2d"  # host-packed space-to-depth: no [H,W,3] lane padding on device
+    # host-packed space-to-depth: no [H,W,3] lane padding on device.
+    # conv7 (reference-parity stem on raw [H,W,3] frames) is measurable
+    # via BENCH_STEM=conv7 for the design comparison.
+    STEM = os.environ.get("BENCH_STEM", "s2d")
     DET_STEP = int(os.environ.get("BENCH_DET_STEP", "3"))
     T_CLIP = 24  # frames per device call (multiple of DET_STEP)
     N_ITERS = 12  # clips per timed device loop
@@ -119,13 +122,14 @@ def main() -> None:
     )
     # uint8 s2d frames (4x less HBM + transfer than f32; normalized on device)
     raw = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
-    packed = pack_s2d(raw)
+    packed = pack_s2d(raw) if STEM == "s2d" else raw
 
     if INT8:
         from playground3d_tpu.models.quant import quantize_detector
 
         det_params = quantize_detector(det_params, packed[None], DEPTH, stem=STEM)
-        crop_calib = rng.integers(0, 256, (4, 28, 28, 48), dtype=np.uint8)
+        crop_shape = (4, 28, 28, 48) if STEM == "s2d" else (4, 112, 112, 3)
+        crop_calib = rng.integers(0, 256, crop_shape, dtype=np.uint8)
         crop_params = quantize_detector(crop_params, crop_calib, CROP_DEPTH, stem=STEM)
 
     clip = make_mc_clip_step(
