@@ -75,6 +75,7 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--depth", type=int, default=18)
     ap.add_argument("--det-step", type=int, default=3)
+    ap.add_argument("--cd-max", type=int, default=16)
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--width", type=int, default=768)
     ap.add_argument("--zoom", type=float, default=1.5)
@@ -186,7 +187,7 @@ def main(argv=None):
 
     tcfg = TrackerConfig(
         max_tracks=32, max_dets=48, pre_topk=1024, x_range=(lo - 30, hi + 30),
-        f_init=2, sigma_d=0.25, sigma_c=0.2, det_step=args.det_step, cd_max=16,
+        f_init=2, sigma_d=0.25, sigma_c=0.2, det_step=args.det_step, cd_max=args.cd_max,
         estimate_ts_bias=False, merge_dist_ft=12.0, approx_topk=args.approx_topk,
     )
     tracker = MultiCameraTracker(
