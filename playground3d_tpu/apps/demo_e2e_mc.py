@@ -76,6 +76,8 @@ def main(argv=None):
     ap.add_argument("--depth", type=int, default=18)
     ap.add_argument("--det-step", type=int, default=3)
     ap.add_argument("--cd-max", type=int, default=16)
+    ap.add_argument("--w-conf", type=float, default=None,
+                    help="best-box selection confidence weight (cfg.w_conf)")
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--width", type=int, default=768)
     ap.add_argument("--zoom", type=float, default=1.5)
@@ -188,6 +190,7 @@ def main(argv=None):
     tcfg = TrackerConfig(
         max_tracks=32, max_dets=48, pre_topk=1024, x_range=(lo - 30, hi + 30),
         f_init=2, sigma_d=0.25, sigma_c=0.2, det_step=args.det_step, cd_max=args.cd_max,
+        **({} if args.w_conf is None else {"w_conf": args.w_conf}),
         estimate_ts_bias=False, merge_dist_ft=12.0, approx_topk=args.approx_topk,
     )
     tracker = MultiCameraTracker(
