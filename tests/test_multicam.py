@@ -619,3 +619,43 @@ def test_mc_clip_unrolled_matches_scan(toy_cameras3):
     np.testing.assert_allclose(
         np.asarray(out_a[0].kf.x), np.asarray(out_u[0].kf.x), rtol=1e-5, atol=1e-5
     )
+
+
+def test_mc_clip_small_candidate_pools(toy_cameras3):
+    """cd_max below the anchor count per crop (shipped default 8; sweep
+    showed small pools beat large ones) keeps shapes and masks sane."""
+    from playground3d_tpu.models import retinanet_init
+    from playground3d_tpu.models.resnet import space_to_depth
+    from playground3d_tpu.pipeline.multi_cam import make_mc_clip_step
+    from playground3d_tpu.pipeline.tracker_state import init_track_state
+    from playground3d_tpu.track.kf import default_params
+    from playground3d_tpu.pipeline.camera_bank import bank_from_registry
+
+    reg = toy_cameras3["registry"]
+    for cd in (4, 8):
+        cfg = TrackerConfig(
+            max_tracks=16, max_dets=16, pre_topk=128, x_range=(320.0, 880.0),
+            f_init=1, det_step=3, skip_step=1, cd_max=cd, cs=32, crop_slots=8,
+        )
+        kfp = default_params()
+        bank = bank_from_registry(reg)
+        centers = jnp.asarray(toy_cameras3["centers"])
+        det_params = retinanet_init(jax.random.PRNGKey(0), depth=18, stem="s2d")
+        crop_params = retinanet_init(jax.random.PRNGKey(1), depth=18, stem="s2d")
+        clip = make_mc_clip_step(
+            det_params, 18, bank, centers, kfp, cfg,
+            crop_params=crop_params, crop_depth=18, stem="s2d", crop_stem="s2d",
+        )
+        rng = np.random.default_rng(cd)
+        T, C = 3, len(toy_cameras3["ranges"])
+        raw = rng.uniform(-1, 1, (T, C, 64, 96, 3)).astype(np.float32)
+        s2d = np.asarray(
+            jax.jit(space_to_depth)(jnp.asarray(raw.reshape(T * C, 64, 96, 3)))
+        ).reshape(T, C, 16, 24, 48)
+        cam_times = (np.arange(T)[:, None] / 30.0 + np.zeros((1, C))).astype(np.float32)
+        st, tb, snaps = clip(
+            init_track_state(cfg.max_tracks), jnp.zeros((C,), jnp.float32),
+            jnp.asarray(s2d), jnp.asarray(cam_times), jnp.int32(0),
+        )
+        assert snaps.states7.shape == (T, cfg.max_tracks, 7)
+        assert bool(jnp.all(jnp.isfinite(jnp.where(snaps.raw_mask[..., None], snaps.states7, 0.0))))
