@@ -169,8 +169,12 @@ def resnet_apply_int8(params: Params, x, depth: int, stem: str = "conv7"):
 # folding that scale into its dequant epilogue, so producers emit int8 at
 # the consumer's calibrated activation scale and HBM sees int8 end to
 # end. Residual adds dequantize both operands inside one fused elementwise
-# kernel and requantize the relu'd sum for the next block. Numerics match
-# the hook path up to one fewer bf16 rounding per tensor.
+# kernel and requantize the relu'd sum for the next block. Numerics differ
+# from the hook path in two bounded ways: (1) one fewer bf16 rounding per
+# tensor, and (2) block inputs are clipped to the NEXT conv's calibrated
+# [-127*xs, 127*xs] range BEFORE the residual add, so residuals that fall
+# outside the consumer's calibration range saturate here but not in the
+# hook path (tests bound the combined drift at <8%).
 
 
 def _chain_qconv(pc, pbn, cur, stride, relu, emit_xs):

@@ -367,6 +367,31 @@ def make_mc_clip_step(
         crop_step = None
     d, s = cfg.det_step, cfg.skip_step
 
+    if unroll and mesh is not None:
+        raise ValueError(
+            "make_mc_clip_step: unroll=True is not supported together with a "
+            "mesh (the sharded program is built from the scan+switch variant); "
+            "pass unroll=False, or shard the unrolled clip yourself."
+        )
+
+    def _check_aligned(frame0, need_s: bool):
+        # batch_detects pairs hoisted detections by clip-local index (li//d)
+        # and the unrolled clip branches on clip-local i, so both are only
+        # correct when the clip starts on a detect boundary (and, for the
+        # unrolled crop branch, on a skip boundary). frame0 is concrete on
+        # the host here — fail loudly instead of silently mis-cadencing.
+        f0 = int(frame0)
+        if f0 % d != 0:
+            raise ValueError(
+                f"clip frame0={f0} must be a multiple of det_step={d} for the "
+                "batch_detects/unroll clip variants (clip-local cadence)"
+            )
+        if need_s and f0 % s != 0:
+            raise ValueError(
+                f"clip frame0={f0} must be a multiple of skip_step={s} for the "
+                "unrolled clip's crop cadence"
+            )
+
     if unroll:
         # Straight-line variant: with a clip-aligned frame0 (frame0 % d == 0
         # — the same precondition batch_detects has) the branch taken at
@@ -400,8 +425,11 @@ def make_mc_clip_step(
             snaps = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *snaps)
             return st, tb, snaps
 
-        if mesh is None:
-            return clip_unrolled
+        def run_unrolled(state, ts_bias, frames, cam_times, frame0):
+            _check_aligned(frame0, need_s=crop_step is not None)
+            return clip_unrolled(state, ts_bias, frames, cam_times, frame0)
+
+        return run_unrolled
 
     @jax.jit
     def clip(
@@ -461,7 +489,14 @@ def make_mc_clip_step(
         return state2, tb2, snaps
 
     if mesh is None:
-        return clip
+        if not batch_detects:
+            return clip
+
+        def run_batched(state, ts_bias, frames, cam_times, frame0):
+            _check_aligned(frame0, need_s=False)
+            return clip(state, ts_bias, frames, cam_times, frame0)
+
+        return run_batched
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -474,6 +509,8 @@ def make_mc_clip_step(
     )
 
     def run(state, ts_bias, frames, cam_times, frame0):
+        if batch_detects:
+            _check_aligned(frame0, need_s=False)
         return sharded(
             state, ts_bias, frames, jnp.asarray(cam_times), jnp.asarray(frame0, jnp.int32)
         )
@@ -632,8 +669,27 @@ class MultiCameraTracker:
             except StopIteration:
                 return
 
-    def track(self, sources: List[Iterable], cutoff: int = 10**9, sync_ms: float = 20.0):
-        """Per-frame host loop (one device call per frame)."""
+    def track(
+        self,
+        sources: List[Iterable],
+        cutoff: int = 10**9,
+        sync_ms: float = 20.0,
+        per_frame: bool = False,
+        clip_len: int = 24,
+        mesh=None,
+    ):
+        """Track all sources to exhaustion (reference ``MC_Crop_Tracker.track``,
+        MC3D_crop_tracker.py:1051).
+
+        Delegates to the fused clip-scan path (:meth:`track_clips`) — one
+        device call per ``clip_len`` frames — whenever the detector params
+        are available. Pass ``per_frame=True`` for the one-device-call-per-
+        frame loop (needed when a host-side ``detect_fn`` drives detection,
+        and useful for latency-sensitive streaming)."""
+        if not per_frame and self.detect_fn is None and self._det_params is not None:
+            return self.track_clips(
+                sources, clip_len=clip_len, cutoff=cutoff, sync_ms=sync_ms, mesh=mesh
+            )
         start = time.time()
         n = 0
         for frame_num, (frames, times) in enumerate(

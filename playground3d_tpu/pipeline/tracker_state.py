@@ -221,12 +221,17 @@ def associate_and_update(
     iou = pairwise_iou(track_fp, det_fp)  # [N,K]
     iou = jnp.where(state.kf.mask[:, None] & parsed.mask[None, :], iou, 0.0)
 
-    # pre-mask rows/cols that cannot produce a surviving match (max IoU
-    # below the phi_match gate): their assignments are discarded at :227
-    # anyway, and in any optimal assignment a positive-benefit pair never
-    # loses its column to a below-gate row (swapping would raise the
-    # total) — but leaving them in makes the auction churn through dummy
-    # bid wars (measured 15.8 ms worst-case on a sparse 48x64 benefit).
+    # Pre-gate rows/cols whose best IoU is below phi_match. This is an
+    # INTENTIONAL approximation, not an exact equivalence: a below-gate row
+    # can hold a column in the global optimum and evicting it can reroute
+    # another row's match (e.g. iou(r,c)=.45, iou(r',c)=.6, iou(r',c2)=.55,
+    # gate .5: unmasked optimum pairs r'->c2, masked pairs r'->c), changing
+    # which matches survive and which tracks are born. We keep it because a
+    # below-gate row's own assignment is always discarded, forcing gated
+    # rows toward their best-IoU columns is at worst neutral for tracking
+    # (e2e quality was A/B'd), and leaving them in makes the auction churn
+    # through dummy bid wars (measured 15.8 ms worst-case on a sparse
+    # 48x64 benefit).
     row_hope = jnp.max(iou, axis=1) >= cfg.phi_match
     col_hope = jnp.max(iou, axis=0) >= cfg.phi_match
     col_of_row = assign_auction(iou, state.kf.mask & row_hope, parsed.mask & col_hope)

@@ -498,7 +498,7 @@ def test_track_clips_driver_matches_per_frame(toy_cameras3):
         return out
 
     t1 = mk_tracker()
-    t1.track(sources())
+    t1.track(sources(), per_frame=True)
     t2 = mk_tracker()
     stats = t2.track_clips(sources(), clip_len=3)
     assert stats["frames"] == n_frames
@@ -507,6 +507,17 @@ def test_track_clips_driver_matches_per_frame(toy_cameras3):
         assert r1[0] == r2[0]
         np.testing.assert_array_equal(r1[2], r2[2])
         np.testing.assert_allclose(r1[3], r2[3], rtol=1e-4, atol=1e-4)
+
+    # the reference-shaped default API must take the fused clip path, not
+    # the per-frame loop (VERDICT r2: a caller following the reference API
+    # got the slow path silently)
+    t3 = mk_tracker()
+    t3.track(sources(), clip_len=3)
+    assert len(t3.rows) == len(t2.rows)
+    for r2, r3 in zip(t2.rows, t3.rows):
+        assert r2[0] == r3[0]
+        np.testing.assert_array_equal(r2[2], r3[2])
+        np.testing.assert_allclose(r2[3], r3[3], rtol=1e-5, atol=1e-5)
 
 
 def test_session_mode_cli_end_to_end(tmp_path, toy_cameras3):
