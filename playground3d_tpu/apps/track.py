@@ -82,8 +82,14 @@ def track_session(args):
     import os
 
     def cam_source(cam):
+        # emit uint8 s2d frames straight from the native fused decode tail
+        # (fp_yuv420_to_s2d_u8): no host float math, 4x less host->device
+        # transfer, normalization on device
         segs = (
-            VideoFrameSource(os.path.join(d, fn), resize_hw=(args.height, args.width))
+            VideoFrameSource(
+                os.path.join(d, fn), resize_hw=(args.height, args.width),
+                emit=args.emit,
+            )
             for d, fn, _, _ in by_cam[cam]
         )
         return itertools.chain.from_iterable(segs)
@@ -113,6 +119,10 @@ def main(argv=None):
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--crop-checkpoint", default=None)
     ap.add_argument("--det-step", type=int, default=1)
+    ap.add_argument(
+        "--emit", default="s2d_u8", choices=["s2d_u8", "f32"],
+        help="session-mode frame layout: uint8 s2d fast path or reference f32",
+    )
     ap.add_argument("--oracle", action="store_true", help="use oracle detections (no network)")
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)

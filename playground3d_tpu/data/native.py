@@ -60,6 +60,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.fp_preprocess.argtypes = [u8p, f32p, ctypes.c_int, ctypes.c_int, f32p, f32p, ctypes.c_int]
     lib.fp_preprocess_s2d.argtypes = [u8p, f32p, ctypes.c_int, ctypes.c_int, f32p, f32p, ctypes.c_int]
     lib.fp_pack_s2d.argtypes = [f32p, f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.fp_s2d_u8.argtypes = [u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.fp_preprocess_s2d_u8.argtypes = [u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.fp_yuv420_to_rgb.argtypes = [u8p, u8p, u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.fp_yuv420_to_s2d_u8.argtypes = [u8p, u8p, u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.fp_parse_timestamp.argtypes = [u8p] + [ctypes.c_int] * 11 + [i32p, i32p]
     lib.fp_parse_timestamp.restype = ctypes.c_int
     _lib = lib
@@ -144,6 +148,66 @@ def pack_s2d_native(frame_f32: np.ndarray, n_threads: int = 4) -> np.ndarray:
     from playground3d_tpu.data.video import pack_s2d
 
     return pack_s2d(frame_f32)
+
+
+def s2d_u8(frame_u8: np.ndarray, n_threads: int = 1) -> np.ndarray:
+    """[H,W,3] uint8 -> [H/4,W/4,48] uint8 s2d pack — the shipped feed-path
+    layout (frames travel uint8; the device s2d stem normalizes)."""
+    h, w = frame_u8.shape[:2]
+    lib = _load()
+    if lib is not None:
+        out = np.empty((h // 4, w // 4, 48), np.uint8)
+        lib.fp_s2d_u8(np.ascontiguousarray(frame_u8), out, h, w, n_threads)
+        return out
+    from playground3d_tpu.data.video import pack_s2d
+
+    return pack_s2d(frame_u8)
+
+
+def preprocess_s2d_u8(frame_u8: np.ndarray, n_threads: int = 1) -> np.ndarray:
+    """Fused 2x box downsample + s2d pack, all uint8: 4K [H,W,3] ->
+    [H/8,W/8,48]. Equals ``pack_s2d(resize_half(frame))`` exactly."""
+    h, w = frame_u8.shape[:2]
+    lib = _load()
+    if lib is not None:
+        out = np.empty((h // 8, w // 8, 48), np.uint8)
+        lib.fp_preprocess_s2d_u8(np.ascontiguousarray(frame_u8), out, h, w, n_threads)
+        return out
+    from playground3d_tpu.data.video import pack_s2d
+
+    return pack_s2d(resize_half(frame_u8))
+
+
+def yuv420_to_rgb(Y: np.ndarray, U: np.ndarray, V: np.ndarray, n_threads: int = 1):
+    """BT.601 limited-range YUV420 planes -> [H,W,3] uint8 RGB; fixed-point
+    match of the y4m reader's float conversion (data/video.py:268-276)
+    within +-1 LSB. Returns None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    h, w = Y.shape
+    out = np.empty((h, w, 3), np.uint8)
+    lib.fp_yuv420_to_rgb(
+        np.ascontiguousarray(Y), np.ascontiguousarray(U), np.ascontiguousarray(V),
+        out, h, w, n_threads,
+    )
+    return out
+
+
+def yuv420_to_s2d_u8(Y: np.ndarray, U: np.ndarray, V: np.ndarray, n_threads: int = 1):
+    """Fused y4m decode tail: YUV420 planes -> s2d-packed uint8
+    [H/4,W/4,48] in one pass (no RGB frame materialized). Returns None when
+    the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    h, w = Y.shape
+    out = np.empty((h // 4, w // 4, 48), np.uint8)
+    lib.fp_yuv420_to_s2d_u8(
+        np.ascontiguousarray(Y), np.ascontiguousarray(U), np.ascontiguousarray(V),
+        out, h, w, n_threads,
+    )
+    return out
 
 
 def parse_timestamp_native(

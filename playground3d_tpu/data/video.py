@@ -240,7 +240,10 @@ class _Y4MReader:
             self.f.close()
             raise ValueError(f"{path}: y4m header missing W/H")
 
-    def read(self) -> Optional[np.ndarray]:
+    def read_planes(self):
+        """One frame as raw (Y, U, V) uint8 planes (chroma at its stored
+        resolution), or None at EOF. The native fused decode tail
+        (data.native.yuv420_to_s2d_u8) consumes these directly."""
         line = self.f.readline()
         if not line:
             return None
@@ -257,9 +260,19 @@ class _Y4MReader:
         data = self.f.read(ysize + 2 * csize)
         if len(data) < ysize + 2 * csize:
             return None
-        Y = np.frombuffer(data[:ysize], np.uint8).reshape(h, w).astype(np.float32)
+        Y = np.frombuffer(data[:ysize], np.uint8).reshape(h, w)
         U = np.frombuffer(data[ysize : ysize + csize], np.uint8).reshape(ch, cw)
         V = np.frombuffer(data[ysize + csize :], np.uint8).reshape(ch, cw)
+        return Y, U, V
+
+    def read(self) -> Optional[np.ndarray]:
+        planes = self.read_planes()
+        if planes is None:
+            return None
+        Y, U, V = planes
+        w, h = self.w, self.h
+        cw = U.shape[1]
+        Y = Y.astype(np.float32)
         if cw != w:
             U = U.repeat(2, 0).repeat(2, 1)[:h, :w]
             V = V.repeat(2, 0).repeat(2, 1)[:h, :w]
@@ -322,7 +335,17 @@ class VideoFrameSource(FrameSource):
         resize_hw: Tuple[int, int] = (1080, 1920),
         parse_ts=True,
         ts_geometries: Optional[list] = None,
+        emit: str = "f32",
     ):
+        """``emit``: "f32" yields ImageNet-normalized float [H,W,3] (the
+        reference loader's contract, mp_loader.py:237-239); "s2d_u8" yields
+        uint8 s2d-packed [H/4,W/4,48] — the shipped TPU feed layout (4x less
+        host->device transfer, normalization on device). The s2d_u8 path
+        runs the fused native decode tail (framepipe fp_yuv420_to_s2d_u8)
+        when the y4m backend and the native library are available."""
+        if emit not in ("f32", "s2d_u8"):
+            raise ValueError(f"emit must be 'f32' or 's2d_u8', got {emit!r}")
+        self.emit = emit
         self._backend = "y4m" if path.endswith(".y4m") else DECODER
         if self._backend is None:
             raise RuntimeError(
@@ -409,22 +432,80 @@ class VideoFrameSource(FrameSource):
             return None
         return np.frombuffer(data, np.uint8).reshape(h, w, 3)
 
-    def __next__(self):
-        raw = self._read_raw()
-        if raw is None:
-            raise StopIteration
-        t = None
-        if self.parse_ts:
-            # parse on the original frame, BEFORE resize (mp_loader.py order)
-            for g, checks in zip(self._geoms, self._checks):
-                t, _ = parse_frame_timestamp(raw, g, checks)
-                if t is not None:
-                    break
+    def _fallback_ts(self, t):
         if t is None:
             # fallback: previous + nominal period (MC3D:213-215)
             t = (self._last_ts + 1 / 30.0) if self._last_ts is not None else 0.0
         self._last_ts = t
+        return t
+
+    def _parse_ts_rgb(self, raw: np.ndarray):
+        # parse on the original frame, BEFORE resize (mp_loader.py order)
+        for g, checks in zip(self._geoms, self._checks):
+            t, _ = parse_frame_timestamp(raw, g, checks)
+            if t is not None:
+                return t
+        return None
+
+    def _next_s2d_u8(self):
+        """Fused fast path: y4m planes -> (ts strip RGB for parsing) ->
+        uint8 s2d frame, no full-frame float math anywhere on the host."""
+        from playground3d_tpu.data import native as N
+
+        planes = self._y4m.read_planes()
+        if planes is None:
+            raise StopIteration
+        Y, U, V = planes
+        h, w = Y.shape
+        t = None
+        if self.parse_ts:
+            # convert only the timestamp strip (top rows) for the decoder
+            strip_h = min(h, max((g.y0 + g.h for g in self._geoms)) + 2)
+            strip_h += strip_h % 2
+            ch = strip_h // 2
+            strip = N.yuv420_to_rgb(Y[:strip_h], U[:ch], V[:ch])
+            if strip is not None:
+                t = self._parse_ts_rgb(strip)
+        t = self._fallback_ts(t)
+        th, tw = self.resize_hw
+        if (h, w) == (th, tw):
+            out = N.yuv420_to_s2d_u8(Y, U, V)
+            if out is None:  # no native lib: python fallback, still uint8 s2d
+                out = pack_s2d(self._rgb_from_planes(Y, U, V))
+            return out, t
+        rgb = N.yuv420_to_rgb(Y, U, V)
+        if rgb is None:
+            rgb = self._rgb_from_planes(Y, U, V)
+        if (h, w) == (2 * th, 2 * tw):
+            return N.preprocess_s2d_u8(rgb), t
+        return N.s2d_u8(np.ascontiguousarray(resize_frame(rgb, self.resize_hw))), t
+
+    @staticmethod
+    def _rgb_from_planes(Y, U, V):
+        """Float-exact YUV420->RGB (the _Y4MReader.read math)."""
+        h, w = Y.shape
+        if U.shape[1] != w:
+            U = U.repeat(2, 0).repeat(2, 1)[:h, :w]
+            V = V.repeat(2, 0).repeat(2, 1)[:h, :w]
+        y = (Y.astype(np.float32) - 16.0) * (255.0 / 219.0)
+        u = (U.astype(np.float32) - 128.0) * (255.0 / 224.0)
+        v = (V.astype(np.float32) - 128.0) * (255.0 / 224.0)
+        rgb = np.stack([y + 1.402 * v, y - 0.344136 * u - 0.714136 * v, y + 1.772 * u], -1)
+        return np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+
+    def __next__(self):
+        if self.emit == "s2d_u8" and self._backend == "y4m" and self._y4m.c.startswith("420"):
+            return self._next_s2d_u8()
+        raw = self._read_raw()
+        if raw is None:
+            raise StopIteration
+        t = self._parse_ts_rgb(raw) if self.parse_ts else None
+        t = self._fallback_ts(t)
         frame = resize_frame(raw, self.resize_hw)
+        if self.emit == "s2d_u8":
+            from playground3d_tpu.data import native as N
+
+            return N.s2d_u8(np.ascontiguousarray(frame)), t
         return normalize_frame(frame), t
 
 

@@ -44,3 +44,86 @@ def test_native_timestamp_decode():
     # corrupted digit -> None
     burned[16:44, 48:64] = 170
     assert N.parse_timestamp_native(burned) is None
+
+
+# ---- uint8 feed path + fused y4m decode tail (round 3) ---------------------
+
+
+def test_s2d_u8_matches_pack(frame4k):
+    from playground3d_tpu.data.video import pack_s2d
+
+    # any [H,W,3] with H,W % 4 == 0
+    f = frame4k[:432, :768]
+    np.testing.assert_array_equal(N.s2d_u8(f), pack_s2d(f))
+
+
+def test_preprocess_s2d_u8_exact(frame4k):
+    from playground3d_tpu.data.video import pack_s2d
+
+    got = N.preprocess_s2d_u8(frame4k)
+    ref = pack_s2d(N.resize_half(frame4k))
+    np.testing.assert_array_equal(got, ref)
+
+
+def _yuv_rgb_float(Y, U, V):
+    h, w = Y.shape
+    if U.shape[1] != w:
+        U = U.repeat(2, 0).repeat(2, 1)[:h, :w]
+        V = V.repeat(2, 0).repeat(2, 1)[:h, :w]
+    y = (Y.astype(np.float32) - 16.0) * (255.0 / 219.0)
+    u = (U.astype(np.float32) - 128.0) * (255.0 / 224.0)
+    v = (V.astype(np.float32) - 128.0) * (255.0 / 224.0)
+    rgb = np.stack([y + 1.402 * v, y - 0.344136 * u - 0.714136 * v, y + 1.772 * u], -1)
+    return np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+
+
+@pytest.mark.skipif(not N.native_available(), reason="no native toolchain")
+def test_yuv420_to_rgb_matches_float_decoder():
+    rng = np.random.default_rng(3)
+    h, w = 216, 384
+    Y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    U = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+    V = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+    got = N.yuv420_to_rgb(Y, U, V)
+    ref = _yuv_rgb_float(Y, U, V)
+    # 16.16 fixed point vs float32: at most 1 LSB apart
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+    # odd width exercises the scalar tail; must agree with the SIMD body
+    got2 = N.yuv420_to_rgb(Y[:, : w - 10], U[:, : (w - 10) // 2], V[:, : (w - 10) // 2])
+    np.testing.assert_array_equal(got2, got[:, : w - 10])
+
+
+@pytest.mark.skipif(not N.native_available(), reason="no native toolchain")
+def test_yuv420_to_s2d_u8_fused_equals_two_step():
+    from playground3d_tpu.data.video import pack_s2d
+
+    rng = np.random.default_rng(4)
+    h, w = 216, 384
+    Y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    U = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+    V = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+    fused = N.yuv420_to_s2d_u8(Y, U, V)
+    np.testing.assert_array_equal(fused, pack_s2d(N.yuv420_to_rgb(Y, U, V)))
+
+
+def test_video_source_emit_s2d_u8(tmp_path):
+    """VideoFrameSource(emit='s2d_u8') yields uint8 s2d frames equivalent
+    (+-1 LSB from the fixed-point decode) to packing the f32 path's frame."""
+    from playground3d_tpu.data.video import VideoFrameSource, pack_s2d, write_y4m
+    from playground3d_tpu.utils.constants import IMAGENET_MEAN, IMAGENET_STD
+
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, (64, 96, 3), dtype=np.uint8) for _ in range(3)]
+    path = str(tmp_path / "t.y4m")
+    write_y4m(path, frames)
+
+    fast = list(VideoFrameSource(path, resize_hw=(64, 96), parse_ts=False, emit="s2d_u8"))
+    slow = list(VideoFrameSource(path, resize_hw=(64, 96), parse_ts=False))
+    assert len(fast) == len(slow) == 3
+    for (fs, tf), (ss, ts) in zip(fast, slow):
+        assert fs.dtype == np.uint8 and fs.shape == (16, 24, 48)
+        assert tf == ts
+        # de-normalize the f32 frame back to uint8 and pack it
+        u8 = np.clip((ss * IMAGENET_STD + IMAGENET_MEAN) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        ref = pack_s2d(u8)
+        assert np.abs(fs.astype(int) - ref.astype(int)).max() <= 1
