@@ -71,6 +71,35 @@ def photometric_jitter(frame: np.ndarray, rng: np.random.Generator, strength=0.2
     return frame * scale + shift
 
 
+def scale_aspect(
+    frame: np.ndarray, labels: np.ndarray, rng: np.random.Generator
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Random scale/aspect stretch pasted back onto a noise canvas of the
+    original size (reference corrected_3D_dataset.py:331-347): scale ~
+    max(1, N(1,0.1)) on x, scale*aspect with aspect ~ max(0.75, N(1,0.2))
+    on y; labels scale accordingly; objects pushed fully outside drop."""
+    h, w = frame.shape[:2]
+    scale = max(1.0, float(rng.normal(1.0, 0.1)))
+    aspect = max(0.75, float(rng.normal(1.0, 0.2)))
+    nh, nw = max(int(h * scale * aspect), 1), max(int(w * scale), 1)
+    from playground3d_tpu.data.video import resize_frame
+
+    resized = resize_frame(frame.astype(np.float32), (nh, nw))
+    lo, hi = float(frame.min()), float(frame.max())
+    canvas = rng.uniform(lo, hi, (h, w, frame.shape[2])).astype(np.float32)
+    canvas[: min(nh, h), : min(nw, w)] = resized[:h, :w]
+
+    labels = labels.copy()
+    valid = labels[:, 20] >= 0
+    labels[valid, 0:20:2] *= scale
+    labels[valid, 1:20:2] *= scale * aspect
+    # drop objects whose 2D box no longer intersects the canvas
+    keep = ~valid | (
+        (labels[:, 16] < w) & (labels[:, 18] >= 0) & (labels[:, 17] < h) & (labels[:, 19] >= 0)
+    )
+    return canvas, labels[keep]
+
+
 def rotate(frame: np.ndarray, labels: np.ndarray, angle_deg: float) -> Tuple[np.ndarray, np.ndarray]:
     """Rotate the image about its center and re-project all label
     coordinates (reference corrected_3D_dataset.py:367-391)."""
@@ -157,6 +186,9 @@ class SyntheticDetectionDataset:
         zoom: float = 1.0,
         output_dtype: str = "float32",
         ignore_polygon=None,
+        p_scale_aspect: float = 1.0,
+        p_rotate: float = 0.5,
+        p_tile: float = 0.5,
     ):
         self.image_shape = image_shape
         # per-camera ignore region (reference ignored_regions/*.csv,
@@ -175,6 +207,13 @@ class SyntheticDetectionDataset:
         # transfer than normalized float32
         self.output_dtype = output_dtype
         self.augment = augment
+        # geometric aug probabilities (reference corrected_3D_dataset.py:
+        # scale/aspect always :331, rotate always :438, tile p=0.75 :427 —
+        # rotate/tile default lower here: the full-frame remap is host-heavy
+        # and the 2x2 tile variant drops boundary objects)
+        self.p_scale_aspect = p_scale_aspect
+        self.p_rotate = p_rotate
+        self.p_tile = p_tile
         self.crop_mode = crop_mode
         self.crop_size = crop_size
         self.rng = np.random.default_rng(seed)
@@ -297,8 +336,27 @@ class SyntheticDetectionDataset:
                 labels = np.zeros((0, 21), np.float32)
         if self.augment:
             frame = photometric_jitter(frame, self.rng)
+            if not self.crop_mode:
+                # geometric augs (full-frame mode only; crop mode centers an
+                # object and does its own windowing — reference keeps these
+                # augs out of CROP mode too, corrected_3D_dataset.py:501)
+                if self.rng.uniform() < self.p_scale_aspect:
+                    frame, labels = scale_aspect(frame, labels, self.rng)
             if self.rng.uniform() < 0.5:
                 frame, labels = hflip(frame, labels)
+            if not self.crop_mode:
+                if self.rng.uniform() < self.p_rotate:
+                    angle = float(self.rng.uniform(-20.0, 20.0))
+                    frame, labels = rotate(frame, labels, angle)
+                    # drop labels fully outside after rotation (ref :395-397)
+                    valid = labels[:, 20] >= 0
+                    keep = ~valid | (
+                        (labels[:, 16] < frame.shape[1]) & (labels[:, 18] >= 0)
+                        & (labels[:, 17] < frame.shape[0]) & (labels[:, 19] >= 0)
+                    )
+                    labels = labels[keep]
+                if self.rng.uniform() < self.p_tile:
+                    frame, labels = tile_shuffle(frame, labels, self.rng)
         if self.output_dtype == "uint8":
             frame = (np.clip(frame, 0.0, 1.0) * 255.0).astype(np.uint8)
             return frame, pad_labels(labels)

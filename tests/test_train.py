@@ -151,6 +151,44 @@ def test_tile_shuffle_remaps():
     assert patch.mean() > 0.9
 
 
+def test_scale_aspect_labels_follow():
+    from playground3d_tpu.data.dataset import SyntheticDetectionDataset, scale_aspect
+
+    ds = SyntheticDetectionDataset(image_shape=(128, 192), n_objects=3, seed=6, augment=False)
+    frame, labels = ds.sample()
+    labels = labels[labels[:, 20] >= 0]
+    rng = np.random.default_rng(1)
+    f2, l2 = scale_aspect(frame, labels, rng)
+    assert f2.shape == frame.shape
+    assert len(l2) <= len(labels)
+    # surviving labels are the originals scaled by a recoverable (sx, sy)
+    if len(l2) and len(labels):
+        sx = l2[0, 0] / labels[0, 0] if abs(labels[0, 0]) > 1e-6 else 1.0
+        np.testing.assert_allclose(l2[0, 0:20:2], labels[0, 0:20:2] * sx, rtol=1e-4)
+        sy = l2[0, 1] / labels[0, 1] if abs(labels[0, 1]) > 1e-6 else 1.0
+        np.testing.assert_allclose(l2[0, 1:20:2], labels[0, 1:20:2] * sy, rtol=1e-4)
+        assert sx >= 1.0 - 1e-6  # scale is clipped at 1 (ref :332)
+
+
+def test_sample_runs_geometric_augs():
+    """sample() with augment=True exercises scale/aspect + rotate + tile
+    (component #15 closure): forced probabilities, shapes stay fixed."""
+    from playground3d_tpu.data.dataset import SyntheticDetectionDataset
+
+    ds = SyntheticDetectionDataset(
+        image_shape=(128, 192), n_objects=4, seed=7, augment=True,
+        p_scale_aspect=1.0, p_rotate=1.0, p_tile=1.0,
+    )
+    for _ in range(4):
+        frame, labels = ds.sample()
+        assert frame.shape == (128, 192, 3)
+        assert labels.shape[1] == 21
+        v = labels[labels[:, 20] >= 0]
+        if len(v):
+            # 2D boxes stay ordered after every remap
+            assert (v[:, 18] >= v[:, 16]).all() and (v[:, 19] >= v[:, 17]).all()
+
+
 def test_orbax_checkpoint_roundtrip(tmp_path):
     from playground3d_tpu.train.trainer import TrainConfig, Trainer
     from playground3d_tpu.utils.checkpoint import load_train_state, save_train_state
