@@ -85,7 +85,15 @@ class MOTEvaluator:
         match_iou: float = 0.0,
         cutoff_frame: int = 10000,
         camera: Optional[str] = None,
+        pred_from_image: bool = False,
     ):
+        """``pred_from_image``: derive prediction states from their IMAGE
+        corners through this evaluator's homography (the same path GT
+        takes) instead of trusting the CSV's state columns. Image space is
+        shared across artifacts, so this scores a tracker CSV produced
+        under a DIFFERENT roadway-frame fit in the GT's frame — the
+        common-frame re-score for the reference's committed CSVs
+        (docs/REF_PARITY.md)."""
         self.H = np.asarray(H, np.float64)
         self.P = np.asarray(P, np.float64)
         self.match_iou = match_iou
@@ -105,6 +113,7 @@ class MOTEvaluator:
 
             self.gt = keep(self.gt)
             self.pred = keep(self.pred)
+        self.pred_from_image = pred_from_image
         self.m = MOTAccumulator()
         self.metrics: Optional[dict] = None
 
@@ -131,6 +140,13 @@ class MOTEvaluator:
         return state7, space, im, ids, classes
 
     def _pred_frame(self, rows):
+        if self.pred_from_image:
+            state7, space, im, ids, classes = self._gt_frame(rows)
+            # keep the CSV's velocity (frame-invariant scalar, not re-derivable
+            # from a single frame's corners)
+            for i, r in enumerate(rows):
+                state7[i, 6] = parse_state_row(r)[6]
+            return state7, space, im, ids, classes
         state7 = np.stack([parse_state_row(r) for r in rows])
         space = G.state_to_space(state7)
         im = G.state_to_im(state7, self.P)

@@ -341,6 +341,53 @@ class TestReferenceRescore:
         assert m["True unique objects"] == 1
         assert m["Predicted unique objects"] == 34
 
+    def test_common_frame_rescore_and_offset_lock(self):
+        """pred_from_image scores both artifacts through ONE homography;
+        TP stays 0 because the committed IMAGE corners themselves disagree
+        (~240 px vertical offset, image IoU 0 — docs/REF_PARITY.md)."""
+        import numpy as np
+
+        from playground3d_tpu.evaluation.csv_io import load_i24_csv
+        from playground3d_tpu.evaluation.mot import MOTEvaluator
+
+        H, P = self._camera()
+        m = MOTEvaluator(
+            self.GT, self.PRED, H, P, match_iou=0.2, cutoff_frame=170,
+            camera="p1c1", pred_from_image=True,
+        ).evaluate()
+        assert m["TP"] == 0 and m["FN"] == 16
+
+        # the offset lock: time-matched same-vehicle boxes are disjoint in y
+        def cam_rows(d):
+            out = {}
+            for f, rows in d.items():
+                rr = [r for r in rows if len(r) > 36 and r[36].strip() == "p1c1"]
+                if rr:
+                    out[f] = rr
+            return out
+
+        _, gtd = load_i24_csv(self.GT)
+        _, prd = load_i24_csv(self.PRED)
+        g, p = cam_rows(gtd), cam_rows(prd)
+        pts = {f: float(p[f][0][1]) for f in p}
+        dys = []
+        for f in sorted(g.keys()):
+            grow = g[f][0]
+            gim = np.array([float(v) for v in grow[11:27]]).reshape(8, 2)
+            fb = min(pts, key=lambda q: abs(pts[q] - float(grow[1])))
+            best = min(
+                p[fb],
+                key=lambda prow: np.linalg.norm(
+                    np.array([float(v) for v in prow[11:27]]).reshape(8, 2).mean(0)
+                    - gim.mean(0)
+                ),
+            )
+            pim = np.array([float(v) for v in best[11:27]]).reshape(8, 2)
+            dys.append(pim[:, 1].mean() - gim[:, 1].mean())
+            # y-extents disjoint: pred box entirely below the GT box
+            assert pim[:, 1].min() > gim[:, 1].max()
+        assert 200.0 < float(np.mean(dys)) < 290.0
+
 
 class TestCocoPath:
     """COCO-format loader + COCO-style mAP (reference dataloader.py:23,
