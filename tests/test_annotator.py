@@ -213,3 +213,25 @@ class TestAnnotatorShell:
         back = AnnotationSession.load(npz)
         l2 = [l for l in back.labels[0] if abs(l.state7[0] - 507.0) < 1e-6]
         assert len(l2) == 1
+
+
+def test_auto_label_e2e_pixels_to_scored_csv(tmp_path):
+    """The welded workflow (VERDICT r2 #8): train briefly -> render -> y4m ->
+    REAL pixel decode -> shell `auto` labeling -> cleanup -> CSV -> evaluator.
+    Asserts plumbing: real decode happened, a session and a scored CSV exist.
+    (Quality is asserted in the TPU-run demo, not at this step count.)"""
+    import os
+
+    from playground3d_tpu.apps import auto_label_e2e
+
+    prefix = str(tmp_path / "al")
+    metrics = auto_label_e2e.main([
+        "--steps", "60", "--batch", "2", "--frames", "8",
+        "--height", "96", "--width", "144", "--sigma-d", "0.01",
+        "--out-prefix", prefix,
+    ])
+    assert os.path.exists(prefix + ".y4m")
+    assert os.path.exists(prefix + "_session.npz")
+    assert os.path.exists(prefix + "_pred.csv")
+    assert os.path.exists(prefix + "_gt.csv")
+    assert isinstance(metrics, dict) and "MOTA" in metrics
