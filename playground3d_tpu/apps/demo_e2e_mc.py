@@ -93,6 +93,18 @@ def main(argv=None):
     ap.add_argument("--det-ckpt", default=None, help="skip detector training")
     ap.add_argument("--crop-ckpt", default=None, help="skip crop training")
     ap.add_argument("--out-prefix", default="/tmp/demo_mc")
+    ap.add_argument(
+        "--sequences", type=int, default=1,
+        help="fresh scenes tracked with the same nets (quality-gate spread)",
+    )
+    ap.add_argument(
+        "--track-seeds", type=int, default=1,
+        help="render seeds per scene (quality-gate spread)",
+    )
+    ap.add_argument(
+        "--size-nudge", action="store_true",
+        help="class-size KF nudge in the crop branch (measurement model 3)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -183,68 +195,92 @@ def main(argv=None):
     cameras = list(projectors.keys())
     centers = np.array([[565.0 + dx, 60.0] for dx in shifts], np.float32)
     lo, hi = 445.0, 680.0 + shifts[-1]
-    scene = SyntheticScene(
-        n_objects=10, seed=99, x_spawn=(lo + 20, hi - 20), x_visible=(lo, hi)
-    )
 
     tcfg = TrackerConfig(
         max_tracks=32, max_dets=48, pre_topk=1024, x_range=(lo - 30, hi + 30),
         f_init=2, sigma_d=0.25, sigma_c=0.2, det_step=args.det_step, cd_max=args.cd_max,
         **({} if args.w_conf is None else {"w_conf": args.w_conf}),
         estimate_ts_bias=False, merge_dist_ft=12.0, approx_topk=args.approx_topk,
-    )
-    tracker = MultiCameraTracker(
-        reg, cameras, cfg=tcfg, det_params=det_params, crop_params=crop_params,
-        depth=args.depth, centers=centers, stem="s2d",
+        size_nudge=args.size_nudge,
     )
 
-    rng = np.random.default_rng(5)
-    for f in range(args.frames):
-        t = f / 30.0
-        frames = []
-        for ci, cam in enumerate(cameras):
-            # render each camera's view: shift the visible band into its view
-            frame, _ = render_frame(
-                scene, t, reg.P[ci, 0], height=args.height, width=args.width, rng=rng
-            )
-            frames.append(frame)
-        tracker.process(np.stack(frames), [1.6e9 + t] * 3, f)
-        if f % 15 == 0:
-            n = len(tracker.rows[-1][2]) if tracker.rows else 0
-            log(f"frame {f}: {n} live tracks")
-    log("tracking done")
-    pred_path = args.out_prefix + "_pred.csv"
-    tracker.write_results_csv(pred_path)
-
-    gt = []
-    for f in range(args.frames):
-        t = f / 30.0
-        states, idx = scene.states_at(t)
-        if len(states) == 0:
-            continue
-        space = G.state_to_space(states)
-        im = G.space_to_im(space, reg.P[0, 0])
-        for i in range(len(states)):
-            gt.append(
-                TrackRecord(
-                    frame=f, timestamp=1.6e9 + t, obj_id=int(idx[i]),
-                    class_name=CLASS_NAMES[int(scene.classes[idx[i]])],
-                    state7=states[i], im_corners=im[i],
-                    space_footprint=space[i, 0:4, :2], camera=cameras[0],
+    def track_one(scene_seed: int, render_seed: int, tag: str):
+        """One fresh sequence tracked with the SAME trained nets -> metrics."""
+        scene = SyntheticScene(
+            n_objects=10, seed=scene_seed, x_spawn=(lo + 20, hi - 20), x_visible=(lo, hi)
+        )
+        tracker = MultiCameraTracker(
+            reg, cameras, cfg=tcfg, det_params=det_params, crop_params=crop_params,
+            depth=args.depth, centers=centers, stem="s2d",
+        )
+        rng = np.random.default_rng(render_seed)
+        for f in range(args.frames):
+            t = f / 30.0
+            frames = []
+            for ci, cam in enumerate(cameras):
+                frame, _ = render_frame(
+                    scene, t, reg.P[ci, 0], height=args.height, width=args.width, rng=rng
                 )
-            )
-    gt_path = args.out_prefix + "_gt.csv"
-    write_results_csv(gt_path, gt)
+                frames.append(frame)
+            tracker.process(np.stack(frames), [1.6e9 + t] * 3, f)
+        pred_path = f"{args.out_prefix}_{tag}_pred.csv"
+        tracker.write_results_csv(pred_path)
 
-    ev = MOTEvaluator(
-        gt_path, pred_path, reg.H[0, 0], reg.P[0, 0], match_iou=0.2,
-        cutoff_frame=args.frames,
+        gt = []
+        for f in range(args.frames):
+            t = f / 30.0
+            states, idx = scene.states_at(t)
+            if len(states) == 0:
+                continue
+            space = G.state_to_space(states)
+            im = G.space_to_im(space, reg.P[0, 0])
+            for i in range(len(states)):
+                gt.append(
+                    TrackRecord(
+                        frame=f, timestamp=1.6e9 + t, obj_id=int(idx[i]),
+                        class_name=CLASS_NAMES[int(scene.classes[idx[i]])],
+                        state7=states[i], im_corners=im[i],
+                        space_footprint=space[i, 0:4, :2], camera=cameras[0],
+                    )
+                )
+        gt_path = f"{args.out_prefix}_{tag}_gt.csv"
+        write_results_csv(gt_path, gt)
+        ev = MOTEvaluator(
+            gt_path, pred_path, reg.H[0, 0], reg.P[0, 0], match_iou=0.2,
+            cutoff_frame=args.frames,
+        )
+        return ev.evaluate()
+
+    # quality gate: >=1 sequences x >=1 render seeds with the same nets;
+    # single-sequence A/Bs are within seed noise (VERDICT r2 weak #3)
+    scene_seeds = [99, 231, 47][: args.sequences]
+    render_seeds = [5, 17][: args.track_seeds]
+    all_metrics = []
+    for ss in scene_seeds:
+        for rs in render_seeds:
+            m = track_one(ss, rs, f"s{ss}r{rs}")
+            all_metrics.append(m)
+            log(
+                f"seq seed={ss} render={rs}: recall {m['Recall']:.3f} "
+                f"precision {m['Precision']:.3f} MOTA {m['MOTA']:.3f} "
+                f"IDs {m['ID switches']}"
+            )
+
+    keys = ["TP", "FP", "FN", "Recall", "Precision", "MOTA", "ID switches"]
+    log(
+        f"MC e2e metrics over {len(all_metrics)} runs "
+        f"(trained det + crop nets, d={args.det_step}, "
+        f"size_nudge={args.size_nudge}): mean +- std"
     )
-    metrics = ev.evaluate()
-    log(f"MC e2e metrics (trained det + crop nets, d={args.det_step}):")
-    for k in ["TP", "FP", "FN", "Recall", "Precision", "MOTA", "ID switches"]:
-        v = metrics[k]
-        print(f"  {k:<12}: {v:.3f}" if isinstance(v, float) else f"  {k:<12}: {v}", flush=True)
+    for k in keys:
+        vals = np.array([float(m[k]) for m in all_metrics])
+        print(f"  {k:<12}: {vals.mean():.3f} +- {vals.std():.3f}", flush=True)
+    # return the mean metrics dict (backwards-compatible single-run shape)
+    metrics = {k: float(np.mean([float(m[k]) for m in all_metrics])) for k in keys}
+    metrics["spread"] = {
+        k: float(np.std([float(m[k]) for m in all_metrics])) for k in keys
+    }
+    metrics["runs"] = all_metrics
     return metrics
 
 

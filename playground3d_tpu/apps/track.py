@@ -120,7 +120,7 @@ def main(argv=None):
     ap.add_argument("--crop-checkpoint", default=None)
     ap.add_argument("--det-step", type=int, default=1)
     ap.add_argument(
-        "--emit", default="s2d_u8", choices=["s2d_u8", "f32"],
+        "--emit", default="s2d_u8", choices=["s2d_u8", "f32", "yuv420"],
         help="session-mode frame layout: uint8 s2d fast path or reference f32",
     )
     ap.add_argument("--oracle", action="store_true", help="use oracle detections (no network)")

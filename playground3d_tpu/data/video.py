@@ -342,9 +342,14 @@ class VideoFrameSource(FrameSource):
         uint8 s2d-packed [H/4,W/4,48] — the shipped TPU feed layout (4x less
         host->device transfer, normalization on device). The s2d_u8 path
         runs the fused native decode tail (framepipe fp_yuv420_to_s2d_u8)
-        when the y4m backend and the native library are available."""
-        if emit not in ("f32", "s2d_u8"):
-            raise ValueError(f"emit must be 'f32' or 's2d_u8', got {emit!r}")
+        when the y4m backend and the native library are available.
+        "yuv420" yields the raw planar YUV420 bytes flat ([H*W*3//2] uint8,
+        y4m 4:2:0 only, no resize): 1.5 B/px — half of s2d_u8 — with color
+        conversion + s2d packing done ON DEVICE
+        (pipeline.multi_cam.yuv420_flat_to_s2d), for link-constrained
+        host->device paths; pass yuv_hw=(H,W) to track_clips."""
+        if emit not in ("f32", "s2d_u8", "yuv420"):
+            raise ValueError(f"emit must be 'f32', 's2d_u8' or 'yuv420', got {emit!r}")
         self.emit = emit
         self._backend = "y4m" if path.endswith(".y4m") else DECODER
         if self._backend is None:
@@ -480,6 +485,31 @@ class VideoFrameSource(FrameSource):
             return N.preprocess_s2d_u8(rgb), t
         return N.s2d_u8(np.ascontiguousarray(resize_frame(rgb, self.resize_hw))), t
 
+    def _next_yuv420(self):
+        """Raw planar bytes out; decode work deferred to the device."""
+        from playground3d_tpu.data import native as N
+
+        planes = self._y4m.read_planes()
+        if planes is None:
+            raise StopIteration
+        Y, U, V = planes
+        h, w = Y.shape
+        if (h, w) != tuple(self.resize_hw):
+            raise RuntimeError(
+                f"emit='yuv420' serves stored-size frames only ({h}x{w} != "
+                f"requested {self.resize_hw}); use emit='s2d_u8' to resize"
+            )
+        t = None
+        if self.parse_ts:
+            strip_h = min(h, max((g.y0 + g.h for g in self._geoms)) + 2)
+            strip_h += strip_h % 2
+            ch = strip_h // 2
+            strip = N.yuv420_to_rgb(Y[:strip_h], U[:ch], V[:ch])
+            if strip is not None:
+                t = self._parse_ts_rgb(strip)
+        t = self._fallback_ts(t)
+        return np.concatenate([Y.ravel(), U.ravel(), V.ravel()]), t
+
     @staticmethod
     def _rgb_from_planes(Y, U, V):
         """Float-exact YUV420->RGB (the _Y4MReader.read math)."""
@@ -494,6 +524,10 @@ class VideoFrameSource(FrameSource):
         return np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
 
     def __next__(self):
+        if self.emit == "yuv420":
+            if self._backend != "y4m" or not self._y4m.c.startswith("420"):
+                raise RuntimeError("emit='yuv420' requires a 4:2:0 y4m source")
+            return self._next_yuv420()
         if self.emit == "s2d_u8" and self._backend == "y4m" and self._y4m.c.startswith("420"):
             return self._next_s2d_u8()
         raw = self._read_raw()

@@ -50,6 +50,39 @@ from playground3d_tpu.utils.constants import CLASS_HEIGHTS, CLASS_NAMES, NUM_CLA
 from playground3d_tpu.utils.profiling import StageTimers
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("hw",))
+def yuv420_flat_to_s2d(buf: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    """[T,C,H*W*3//2] uint8 planar YUV420 -> [T,C,H/4,W/4,48] uint8 s2d RGB,
+    ON DEVICE. BT.601 limited range, same float math as the host y4m decoder
+    (data/video.py _rgb_from_planes) within +-1 LSB.
+
+    Hosts ship 1.5 B/px instead of the 3 B/px s2d layout — half the
+    host->device bytes — and the conversion is pointwise VPU work the
+    compiler fuses; on link-constrained paths (PCIe contention, or the
+    tunneled dev box at ~30 MB/s) this doubles the feedable frame rate."""
+    h, w = hw
+    t, c, L = buf.shape
+    n = t * c
+    flat = buf.reshape(n, L)
+    ysz, csz = h * w, (h * w) // 4
+    Y = flat[:, :ysz].reshape(n, h, w).astype(jnp.float32)
+    U = flat[:, ysz : ysz + csz].reshape(n, h // 2, w // 2).astype(jnp.float32)
+    V = flat[:, ysz + csz :].reshape(n, h // 2, w // 2).astype(jnp.float32)
+    y = (Y - 16.0) * (255.0 / 219.0)
+    u = jnp.repeat(jnp.repeat((U - 128.0) * (255.0 / 224.0), 2, 1), 2, 2)
+    v = jnp.repeat(jnp.repeat((V - 128.0) * (255.0 / 224.0), 2, 1), 2, 2)
+    rgb = jnp.stack(
+        [y + 1.402 * v, y - 0.344136 * u - 0.714136 * v, y + 1.772 * u], -1
+    )
+    rgb = jnp.clip(rgb + 0.5, 0.0, 255.0).astype(jnp.uint8)
+    from playground3d_tpu.models.resnet import space_to_depth
+
+    return space_to_depth(rgb).reshape(t, c, h // 4, w // 4, 48)
+
+
 # ---------------------------------------------------------------------------
 # online clock-bias estimation (MC3D_crop_tracker.py:237-316)
 # ---------------------------------------------------------------------------
@@ -250,6 +283,17 @@ def make_crop_step(
         )
         upd = jnp.zeros((N,), bool).at[sel].set(live_k)
         kf2 = kf_update(kf1, meas, upd, kfp, measurement_idx=2)
+
+        if cfg.size_nudge:
+            # class-size nudge (KF measurement model 3): measure each live
+            # track's voted-class mean (l,w,h) with covariance R3, pulling
+            # dimensions toward the class prior. This counters the size
+            # drift that accumulates over long crop-only stretches (large
+            # det_step) — the reference ships the machinery as
+            # tweak_sizes (minimal_3D_track.py:626-640, kf.py:350-361).
+            voted = jnp.argmax(state.cls_votes, axis=1)
+            z_size = kfp.class_size[voted]  # [N,3]
+            kf2 = kf_update(kf2, z_size, upd, kfp, measurement_idx=3)
 
         # fsld/class bookkeeping (MC3D:1240-1252) — only attempted slots
         good = jnp.zeros((N,), bool).at[sel].set(live_k & (best_conf >= cfg.sigma_c))
@@ -677,6 +721,7 @@ class MultiCameraTracker:
         per_frame: bool = False,
         clip_len: int = 24,
         mesh=None,
+        yuv_hw: Optional[Tuple[int, int]] = None,
     ):
         """Track all sources to exhaustion (reference ``MC_Crop_Tracker.track``,
         MC3D_crop_tracker.py:1051).
@@ -688,7 +733,8 @@ class MultiCameraTracker:
         and useful for latency-sensitive streaming)."""
         if not per_frame and self.detect_fn is None and self._det_params is not None:
             return self.track_clips(
-                sources, clip_len=clip_len, cutoff=cutoff, sync_ms=sync_ms, mesh=mesh
+                sources, clip_len=clip_len, cutoff=cutoff, sync_ms=sync_ms,
+                mesh=mesh, yuv_hw=yuv_hw,
             )
         start = time.time()
         n = 0
@@ -718,12 +764,18 @@ class MultiCameraTracker:
         cutoff: int = 10**9,
         sync_ms: float = 20.0,
         mesh=None,
+        yuv_hw: Optional[Tuple[int, int]] = None,
     ):
         """Clip-scan host loop: ONE device call per ``clip_len`` frames, with
         the next clip staged (packed + device_put, camera-sharded when a mesh
         is given) by a background thread while the device advances the
         current one — the double-buffered replacement for the reference's
-        per-frame queue pulls (MC3D_crop_tracker.py:197-218)."""
+        per-frame queue pulls (MC3D_crop_tracker.py:197-218).
+
+        ``yuv_hw``: frame (H, W) when sources emit flat planar YUV420 bytes
+        (``VideoFrameSource(emit="yuv420")``) — color conversion + s2d
+        packing then run on device (:func:`yuv420_flat_to_s2d`), halving
+        host->device bytes."""
         import queue as _queue
         import threading
 
@@ -737,7 +789,10 @@ class MultiCameraTracker:
 
         def stage(batch_np, times_np):
             fj = jnp.asarray(batch_np)
-            if self.stem == "s2d" and fj.shape[-1] == 3:
+            if yuv_hw is not None and fj.ndim == 3:
+                # flat planar YUV420 [T,C,L] -> s2d uint8 on device
+                fj = yuv420_flat_to_s2d(fj, (int(yuv_hw[0]), int(yuv_hw[1])))
+            elif self.stem == "s2d" and fj.shape[-1] == 3:
                 t, c = fj.shape[0], fj.shape[1]
                 fj = self._pack(fj.reshape((t * c,) + fj.shape[2:]))
                 fj = fj.reshape((t, c) + fj.shape[1:])
@@ -775,6 +830,40 @@ class MultiCameraTracker:
 
         start = time.time()
         n = 0
+        # Async pipelining: clip k+1 is ENQUEUED while clip k executes — the
+        # host never blocks between clips (JAX async dispatch keeps the
+        # device queue full), and result snapshots are fetched with a
+        # bounded lag so per-call host<->device latency (PCIe, or seconds of
+        # RTT on remote/tunneled devices) is paid once, not per clip.
+        # ``drain_lag`` bounds in-flight clips (device memory for staged
+        # inputs + snapshots).
+        drain_lag = 3
+        pending: list = []  # (snaps, frame0, ts_bias_at_clip)
+
+        def drain_one():
+            nonlocal n
+            snaps, frame0, bias_ref = pending.pop(0)
+            with self.timers("drain"):
+                # ONE batched device->host fetch per clip (the per-array
+                # np.asarray form issues 6 transfers, each paying a full
+                # round trip on remote/tunneled devices)
+                ids, mask, states, classes, ts, bias_now = jax.device_get(
+                    (snaps.ids, snaps.raw_mask, snaps.states7, snaps.classes,
+                     snaps.t, bias_ref)
+                )
+            for k in range(ids.shape[0]):
+                self.rows.append(
+                    (
+                        frame0 + k,
+                        float(self.epoch + float(ts[k])),
+                        ids[k][mask[k]],
+                        states[k][mask[k]],
+                        classes[k][mask[k]],
+                    )
+                )
+                self.ts_bias_log.append(bias_now)
+            n += ids.shape[0]
+
         while True:
             item = q.get()
             if item is DONE:
@@ -784,26 +873,11 @@ class MultiCameraTracker:
                 self.state, self.ts_bias, snaps = clip(
                     self.state, self.ts_bias, fj, tj, jnp.asarray(frame0, jnp.int32)
                 )
-                jax.block_until_ready(snaps.states7)
-            with self.timers("drain"):
-                ids = np.asarray(snaps.ids)
-                mask = np.asarray(snaps.raw_mask)
-                states = np.asarray(snaps.states7)
-                classes = np.asarray(snaps.classes)
-                ts = np.asarray(snaps.t)
-                bias_now = np.asarray(self.ts_bias)
-                for k in range(ids.shape[0]):
-                    self.rows.append(
-                        (
-                            frame0 + k,
-                            float(self.epoch + float(ts[k])),
-                            ids[k][mask[k]],
-                            states[k][mask[k]],
-                            classes[k][mask[k]],
-                        )
-                    )
-                    self.ts_bias_log.append(bias_now)
-                n += ids.shape[0]
+            pending.append((snaps, frame0, self.ts_bias))
+            while len(pending) > drain_lag:
+                drain_one()
+        while pending:
+            drain_one()
         thread.join(timeout=10)
         wall = time.time() - start
         return {"frames": n, "fps": n / max(wall, 1e-9), **self.timers.totals()}

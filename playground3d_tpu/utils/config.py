@@ -50,6 +50,10 @@ class TrackerConfig:
     # cross-camera duplicates whose footprints fall below phi_over IoU.
     # 0 disables (reference behavior).
     merge_dist_ft: float = 0.0
+    # class-size nudge in the crop branch (KF measurement model 3,
+    # reference tweak_sizes minimal_3D_track.py:626-640): counters size
+    # drift over long crop-only stretches (large det_step)
+    size_nudge: bool = False
 
     # capacities (fixed shapes on device)
     max_tracks: int = 128

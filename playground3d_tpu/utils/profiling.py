@@ -27,6 +27,10 @@ class StageTimers:
     def totals(self) -> Dict[str, float]:
         return dict(self.acc)
 
+    def reset(self) -> None:
+        for s in self.acc:
+            self.acc[s] = 0.0
+
     def fps_without(self, n_frames: int, wall: float, exclude=("load", "plot")) -> float:
         excluded = sum(self.acc.get(s, 0.0) for s in exclude)
         return n_frames / max(wall - excluded, 1e-9)

@@ -127,3 +127,48 @@ def test_video_source_emit_s2d_u8(tmp_path):
         u8 = np.clip((ss * IMAGENET_STD + IMAGENET_MEAN) * 255.0 + 0.5, 0, 255).astype(np.uint8)
         ref = pack_s2d(u8)
         assert np.abs(fs.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_device_yuv420_flat_to_s2d_matches_native():
+    """The on-device YUV420 converter (ships 1.5 B/px over the link) matches
+    the native fused host tail within +-1 LSB, s2d layout included."""
+    from playground3d_tpu.pipeline.multi_cam import yuv420_flat_to_s2d
+
+    rng = np.random.default_rng(6)
+    h, w = 64, 96
+    Y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    U = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+    V = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+    flat = np.concatenate([Y.ravel(), U.ravel(), V.ravel()])
+    got = np.asarray(yuv420_flat_to_s2d(flat[None, None], (h, w)))[0, 0]
+    from playground3d_tpu.data.video import pack_s2d
+
+    ref = pack_s2d(_yuv_rgb_float(Y, U, V))
+    assert got.shape == ref.shape == (h // 4, w // 4, 48)
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_video_source_emit_yuv420_roundtrip(tmp_path):
+    """emit='yuv420' yields flat planar bytes that reconstruct the same s2d
+    frame as emit='s2d_u8' (via the device converter), same timestamps."""
+    from playground3d_tpu.data.video import VideoFrameSource, write_y4m
+    from playground3d_tpu.pipeline.multi_cam import yuv420_flat_to_s2d
+
+    rng = np.random.default_rng(8)
+    frames = [rng.integers(0, 256, (64, 96, 3), dtype=np.uint8) for _ in range(3)]
+    path = str(tmp_path / "t.y4m")
+    write_y4m(path, frames)
+
+    raw = list(VideoFrameSource(path, resize_hw=(64, 96), parse_ts=False, emit="yuv420"))
+    fast = list(VideoFrameSource(path, resize_hw=(64, 96), parse_ts=False, emit="s2d_u8"))
+    assert len(raw) == 3
+    for (buf, tr), (fs, tf) in zip(raw, fast):
+        assert buf.dtype == np.uint8 and buf.shape == (64 * 96 * 3 // 2,)
+        assert tr == tf
+        dev = np.asarray(yuv420_flat_to_s2d(buf[None, None], (64, 96)))[0, 0]
+        assert np.abs(dev.astype(int) - fs.astype(int)).max() <= 1
+    # resize request through the yuv420 path must fail loudly
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        next(iter(VideoFrameSource(path, resize_hw=(32, 48), parse_ts=False, emit="yuv420")))
