@@ -72,6 +72,7 @@ def head_apply(
     apply_sigmoid: bool = True,
     conv=conv_apply,
     compact: bool = False,
+    score_path: bool = False,
 ):
     """[P3..P7] -> (classification [N, A_total, K], regression [N, A_total, 12]).
 
@@ -91,7 +92,7 @@ def head_apply(
     sigmoid to the survivors only (sigmoid is monotonic, so top-k on
     logits == top-k on scores).
     """
-    cls_all, reg_all = [], []
+    cls_all, reg_all, arg_all = [], [], []
     shared = p.get("reg_tower") is None
     for f in features:
         n, h, w, _ = f.shape
@@ -99,10 +100,23 @@ def head_apply(
         rt = ct if shared else _tower_apply(p["reg_tower"], f, dtype, conv)
         c = conv(p["cls_out"], ct, dtype=dtype)
         r = conv(p["reg_out"], rt, dtype=dtype)
-        cls_all.append(c.reshape(n, h * w * num_anchors, num_classes))
+        if score_path:
+            # reduce over classes at the conv's natural [n,h,w,A*K] layout,
+            # BEFORE flatten/concat: the full [A_total,K] class tensor is
+            # never materialized (its concat + reduce_max measured ~0.5 ms
+            # per detect frame at 1080p in the device profile)
+            c5 = c.reshape(n, h, w, num_anchors, num_classes)
+            cls_all.append(jnp.max(c5, axis=-1).reshape(n, h * w * num_anchors))
+            arg_all.append(
+                jnp.argmax(c5, axis=-1).astype(jnp.int32).reshape(n, h * w * num_anchors)
+            )
+        else:
+            cls_all.append(c.reshape(n, h * w * num_anchors, num_classes))
         reg_all.append(r.reshape(n, h * w * num_anchors, N_REG_OUTPUTS))
     cls = jnp.concatenate(cls_all, axis=1)
     reg = jnp.concatenate(reg_all, axis=1)
+    if score_path:
+        return cls.astype(dtype), jnp.concatenate(arg_all, axis=1), reg.astype(dtype)
     if compact:
         return cls.astype(dtype), reg.astype(dtype)
     if apply_sigmoid:

@@ -267,13 +267,19 @@ def _chain_qconv_b(pc, cur, stride, relu, emit_xs, dtype=jnp.bfloat16):
 
 
 def head_apply_int8_chained(
-    p: Params, features, num_classes: int, num_anchors: int = 9
+    p: Params, features, num_classes: int, num_anchors: int = 9,
+    score_path: bool = False,
 ):
     """Chained-int8 twin of heads.head_apply(compact=True): tower
     activations stay int8 between convs (each conv emits at its
     consumer's calibrated scale; with a shared tower the final tower
     tensor feeds both output convs, which fold the SAME producer scale).
-    Returns bf16 logits/regression — the compact contract."""
+    Returns bf16 logits/regression — the compact contract.
+
+    ``score_path=True`` additionally reduces the class axis per level at
+    the conv's natural layout (max + argmax) and returns
+    (max_logits [N,A], arg_cls [N,A] i32, reg [N,A,12]) — see
+    heads.head_apply."""
     from playground3d_tpu.models.heads import N_REG_OUTPUTS
 
     shared = p.get("reg_tower") is None
@@ -285,17 +291,30 @@ def head_apply_int8_chained(
             cur = _chain_qconv_b(c, cur, 1, True, _xs_of(nxt))
         return cur
 
-    cls_all, reg_all = [], []
+    cls_all, reg_all, arg_all = [], [], []
     for f in features:
         n, h, w, _ = f.shape
         ct = tower(p["cls_tower"], f, p["cls_out"])
         rt = ct if shared else tower(p["reg_tower"], f, p["reg_out"])
         c = _chain_f(_chain_qconv_b(p["cls_out"], ct, 1, False, None))
         r = _chain_f(_chain_qconv_b(p["reg_out"], rt, 1, False, None))
-        cls_all.append(c.reshape(n, h * w * num_anchors, num_classes))
+        if score_path:
+            c5 = c.reshape(n, h, w, num_anchors, num_classes)
+            cls_all.append(jnp.max(c5, axis=-1).reshape(n, h * w * num_anchors))
+            arg_all.append(
+                jnp.argmax(c5, axis=-1).astype(jnp.int32).reshape(n, h * w * num_anchors)
+            )
+        else:
+            cls_all.append(c.reshape(n, h * w * num_anchors, num_classes))
         reg_all.append(r.reshape(n, h * w * num_anchors, N_REG_OUTPUTS))
     cls = jnp.concatenate(cls_all, axis=1)
     reg = jnp.concatenate(reg_all, axis=1)
+    if score_path:
+        return (
+            cls.astype(jnp.bfloat16),
+            jnp.concatenate(arg_all, axis=1),
+            reg.astype(jnp.bfloat16),
+        )
     return cls.astype(jnp.bfloat16), reg.astype(jnp.bfloat16)
 
 

@@ -101,7 +101,8 @@ def forward_raw(
     stem: str = "conv7",
     compact: bool = False,
     min_level: int = 3,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    score_path: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """NHWC images -> (classification [N,A,K] (sigmoided), regression [N,A,12]).
 
     With stem="s2d" the input may be host-packed [N,H/4,W/4,48]; uint8
@@ -135,10 +136,13 @@ def forward_raw(
         # chained-int8 towers (activations stay int8 between tower convs)
         from playground3d_tpu.models.quant import head_apply_int8_chained
 
-        return head_apply_int8_chained(params["heads"], feats, num_classes)
+        return head_apply_int8_chained(
+            params["heads"], feats, num_classes, score_path=score_path
+        )
     return head_apply(
         params["heads"], feats, num_classes, dtype=dtype,
-        apply_sigmoid=apply_sigmoid, compact=compact, **fkw
+        apply_sigmoid=apply_sigmoid, compact=compact, score_path=score_path,
+        **fkw
     )
 
 
@@ -187,13 +191,17 @@ def detect_multiframe(
     # full-anchor f32 sigmoid+max used to cost more than the whole
     # decode/top-k/NMS tail (~1.2 ms at 1080p); values are identical (the
     # head convs emit bf16 either way, sigmoid is monotonic)
-    cls, reg = forward_raw(
+    # score_path: the heads reduce over classes per level at the conv's
+    # natural layout — the full [N*A, K] class tensor is never concatenated
+    # or reduce_max'd (measured ~0.5 ms/frame of pure data movement at
+    # 1080p in the device profile); argmax-class comes along for free
+    cls_max, cls_arg, reg = forward_raw(
         params, images, depth, num_classes, stem=stem, compact=True,
-        min_level=min_level,
+        min_level=min_level, score_path=True,
     )
 
     a = anchors.shape[0]
-    logits = jnp.max(cls, axis=-1).reshape(-1).astype(jnp.float32)  # [N*A]
+    logits = cls_max.reshape(-1).astype(jnp.float32)  # [N*A]
 
     # top-k FIRST, then decode/argmax/sigmoid only the k survivors —
     # decoding all N*A anchors to 20 coords costs more than the whole NMS
@@ -212,9 +220,7 @@ def detect_multiframe(
     top_cam = (top_idx // a).astype(jnp.int32)
     top_reg = reg.reshape(n * a, -1)[top_idx].astype(jnp.float32)
     top_boxes = decode_regression(top_reg, anchors[anchor_idx])  # [k,20]
-    top_classes = (
-        jnp.argmax(cls.reshape(n * a, -1)[top_idx], axis=-1).astype(jnp.int32)
-    )
+    top_classes = cls_arg.reshape(n * a)[top_idx]
     valid = top_scores > score_threshold
 
     keep_idx, keep_mask = batched_nms(

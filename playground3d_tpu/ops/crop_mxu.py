@@ -158,10 +158,25 @@ def crop_and_resize_s2d(
     r0 = bases[level] + cam_idx.astype(jnp.int32) * hps[level] + cy0
 
     # ---- block DMA per crop (dynamic_slice, not a point gather) ----
-    def slice_one(r, c):
-        return jax.lax.dynamic_slice(flat, (r, c, 0), (win_cells, win_cells, ch))
-
-    windows = jax.vmap(slice_one)(r0, cx0)  # [n, win, win, 48]
+    # statically unrolled: vmap(dynamic_slice) lowers to a sequential
+    # `while` on TPU (measured 0.26 ms for 32 crops in the device profile
+    # — loop overhead, not DMA); n independent slice ops let the scheduler
+    # overlap the block DMAs, and n is small and static here
+    if n <= 64:
+        windows = jnp.stack(
+            [
+                jax.lax.dynamic_slice(
+                    flat, (r0[i], cx0[i], 0), (win_cells, win_cells, ch)
+                )
+                for i in range(n)
+            ]
+        )
+    else:
+        windows = jax.vmap(
+            lambda r, c: jax.lax.dynamic_slice(
+                flat, (r, c, 0), (win_cells, win_cells, ch)
+            )
+        )(r0, cx0)  # [n, win, win, 48]
     pix = _unpack_chw(windows)  # [n, 3, win_px, win_px]
 
     if normalize:
