@@ -95,7 +95,9 @@ def main():
     print("warm done", flush=True)
 
     # ---- attempt trace capture ----------------------------------------------
+    import shutil
     log_dir = "/tmp/pg3d_profile"
+    shutil.rmtree(log_dir, ignore_errors=True)
     os.makedirs(log_dir, exist_ok=True)
     ok = False
     try:
@@ -111,7 +113,7 @@ def main():
         print("trace capture failed:", repr(e), flush=True)
 
     if ok:
-        tj = [a for a in glob.glob(log_dir + "/**/*.trace.json.gz", recursive=True)]
+        tj = sorted(glob.glob(log_dir + "/**/*.trace.json.gz", recursive=True), key=os.path.getmtime)[-1:]
         if tj:
             with gzip.open(tj[0], "rt") as fjs:
                 trace = json.load(fjs)
