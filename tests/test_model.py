@@ -263,3 +263,22 @@ def test_detect_multiframe_min_level():
     )
     assert det.scores.shape == (16,)
     assert bool(jnp.all(jnp.isfinite(det.scores)))
+
+
+def test_score_path_matches_full_class_tensor():
+    """score_path=True (per-level max/argmax over classes at the conv's
+    natural layout — the round-3 profile fix) must equal reducing the full
+    [N,A,K] class tensor of the compact path, bit-for-bit: max/argmax
+    commute with reshape+concat."""
+    params = retinanet_init(jax.random.PRNGKey(3), num_classes=8, depth=18, stem="s2d")
+    from playground3d_tpu.models.retinanet import forward_raw
+
+    rng = np.random.default_rng(11)
+    frames = jnp.asarray(rng.integers(0, 255, (2, 16, 24, 48), dtype=np.uint8))
+    cls, reg = forward_raw(params, frames, depth=18, stem="s2d", compact=True)
+    mx, arg, reg2 = forward_raw(
+        params, frames, depth=18, stem="s2d", compact=True, score_path=True
+    )
+    np.testing.assert_array_equal(np.asarray(cls).max(-1), np.asarray(mx))
+    np.testing.assert_array_equal(np.asarray(cls).argmax(-1), np.asarray(arg))
+    np.testing.assert_array_equal(np.asarray(reg), np.asarray(reg2))

@@ -212,3 +212,31 @@ def test_chained_heads_match_hook_path():
             hook, chain = np.asarray(hook, np.float32), np.asarray(chain, np.float32)
             rel = np.abs(hook - chain).mean() / (np.abs(hook).mean() + 1e-6)
             assert rel < 0.08, f"chained heads drifted (shared={shared}): {rel}"
+
+
+def test_chained_heads_score_path_matches():
+    """head_apply_int8_chained(score_path=True) == reducing its own full
+    class tensor (exact: same conv outputs, max/argmax commute with
+    reshape+concat)."""
+    from playground3d_tpu.models.fpn import fpn_apply
+    from playground3d_tpu.models.quant import (
+        calibrate_tail,
+        head_apply_int8_chained,
+        quant_conv,
+        quantize_tail,
+    )
+    from playground3d_tpu.models.resnet import resnet_apply
+
+    params = retinanet_init(
+        jax.random.PRNGKey(9), depth=18, stem="s2d", shared_tower=True, tower_depth=2
+    )
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(0, 1, (1, 32, 48, 48)).astype(np.float32))
+    c3, c4, c5 = resnet_apply(params["backbone"], x, 18, jnp.float32, "s2d")
+    q = quantize_tail(params, calibrate_tail(params, c3, c4, c5, num_classes=8))
+    feats = fpn_apply(q["fpn"], c3, c4, c5, jnp.float32, conv=quant_conv)
+    cc, cr = head_apply_int8_chained(q["heads"], feats, 8)
+    mx, arg, cr2 = head_apply_int8_chained(q["heads"], feats, 8, score_path=True)
+    np.testing.assert_array_equal(np.asarray(cc).max(-1), np.asarray(mx))
+    np.testing.assert_array_equal(np.asarray(cc).argmax(-1), np.asarray(arg))
+    np.testing.assert_array_equal(np.asarray(cr), np.asarray(cr2))
