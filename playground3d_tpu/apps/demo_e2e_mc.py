@@ -124,7 +124,7 @@ def main(argv=None):
         image_shape=shape, n_objects=6, seed=0, augment=True, zoom=args.zoom
     )
 
-    def train(cfg, dataset, steps, tag):
+    def train(cfg, dataset, steps, tag, ckpt_path=None):
         trainer = Trainer(cfg, key=jax.random.PRNGKey(0))
         pf = Prefetcher(
             factory=dataset.batch_factory(args.batch), workers=args.workers, depth=4
@@ -134,6 +134,10 @@ def main(argv=None):
             m = trainer.train_step(frames, labels)
             if step % 100 == 0:
                 log(f"{tag} step {step}: loss={float(m['loss']):.4f}")
+            # periodic checkpoint: long runs through the dev tunnel can hang;
+            # a 500-step save bounds the loss to ~1 min of training
+            if ckpt_path and step and step % 500 == 0:
+                save_params(ckpt_path, jax.device_get(trainer.state.params))
         pf.close()
         log(f"{tag} done: loss={float(m['loss']):.4f}")
         return jax.device_get(trainer.state.params)
@@ -147,7 +151,7 @@ def main(argv=None):
     else:
         det_params = train(
             TrainConfig(depth=args.depth, stem="s2d", image_shape=shape, lr=3e-4),
-            ds, args.steps, "detector",
+            ds, args.steps, "detector", ckpt_path=args.out_prefix + "_det.npz",
         )
         save_params(args.out_prefix + "_det.npz", det_params)
 
@@ -164,7 +168,7 @@ def main(argv=None):
         )
         crop_params = train(
             TrainConfig(depth=args.depth, stem="conv7", image_shape=(112, 112), lr=3e-4),
-            crop_ds, args.crop_steps, "crop-detector",
+            crop_ds, args.crop_steps, "crop-detector", ckpt_path=args.out_prefix + "_crop.npz",
         )
         save_params(args.out_prefix + "_crop.npz", crop_params)
 
