@@ -91,6 +91,13 @@ def main() -> None:
     # selection and corrupt updates); ship 8 for margin on real scenes
     # (the reference uses 50 on real I-24 data).
     CD_MAX = int(os.environ.get("BENCH_CD_MAX", "8"))
+    # crop cadence: re-detect crops only on frames where i % skip_step == 0
+    # (reference skip_step, MC3D_crop_tracker.py:78-79); frames matching
+    # neither cadence are passthrough snapshots (~0.03 ms/frame)
+    SKIP_STEP = int(os.environ.get("BENCH_SKIP_STEP", "1"))
+    # class-size KF nudge (measurement model 3) in the crop branch — the
+    # drift counter that quality-gates long detection gaps (d>=6)
+    SIZE_NUDGE = os.environ.get("BENCH_SIZE_NUDGE", "0") == "1"
 
     # synthetic camera registry (geometry constants only)
     rng = np.random.default_rng(7)
@@ -113,8 +120,9 @@ def main() -> None:
 
     cfg = TrackerConfig(
         max_tracks=64, max_dets=48, pre_topk=PRE_TOPK, x_range=(300.0, 800.0),
-        det_step=DET_STEP, skip_step=1, crop_slots=32, cd_max=CD_MAX, cs=112,
+        det_step=DET_STEP, skip_step=SKIP_STEP, crop_slots=32, cd_max=CD_MAX, cs=112,
         estimate_ts_bias=TS_BIAS, approx_topk=APPROX_TOPK, det_min_level=MIN_LEVEL,
+        size_nudge=SIZE_NUDGE,
     )
     kfp = default_params()
     bank = bank_from_registry(reg)

@@ -75,6 +75,10 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--depth", type=int, default=18)
     ap.add_argument("--det-step", type=int, default=3)
+    ap.add_argument("--skip-step", type=int, default=1,
+                    help="crop re-detection cadence between detections")
+    ap.add_argument("--pre-topk", type=int, default=1024,
+                    help="detect-branch candidate pool (cfg.pre_topk)")
     ap.add_argument("--cd-max", type=int, default=16)
     ap.add_argument("--w-conf", type=float, default=None,
                     help="best-box selection confidence weight (cfg.w_conf)")
@@ -92,6 +96,12 @@ def main(argv=None):
     )
     ap.add_argument("--det-ckpt", default=None, help="skip detector training")
     ap.add_argument("--crop-ckpt", default=None, help="skip crop training")
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="warm-start training from the periodic out-prefix checkpoints "
+        "if present (tunnel hangs can kill long runs; optimizer state is "
+        "reinitialized, only params carry over)",
+    )
     ap.add_argument("--out-prefix", default="/tmp/demo_mc")
     ap.add_argument(
         "--sequences", type=int, default=1,
@@ -125,11 +135,34 @@ def main(argv=None):
     )
 
     def train(cfg, dataset, steps, tag, ckpt_path=None):
-        trainer = Trainer(cfg, key=jax.random.PRNGKey(0))
+        import os
+
+        init_params = None
+        step0 = 0
+        if args.resume and ckpt_path and os.path.exists(ckpt_path):
+            init_params = load_params(
+                ckpt_path,
+                retinanet_init(
+                    jax.random.PRNGKey(0), depth=args.depth, stem=cfg.stem
+                ),
+            )
+            # sidecar step counter: a retry after a tunnel hang resumes the
+            # loop where the last periodic save left it (optimizer state is
+            # rebuilt; only params carry over)
+            try:
+                with open(ckpt_path + ".step") as f:
+                    step0 = int(f.read().strip())
+            except (OSError, ValueError):
+                step0 = 0
+            log(f"{tag}: warm-starting from {ckpt_path} at step {step0}")
+        if step0 >= steps:
+            log(f"{tag}: checkpoint already at step {step0} >= {steps}, skipping")
+            return init_params
+        trainer = Trainer(cfg, key=jax.random.PRNGKey(0), params=init_params)
         pf = Prefetcher(
             factory=dataset.batch_factory(args.batch), workers=args.workers, depth=4
         )
-        for step in range(steps):
+        for step in range(step0, steps):
             frames, labels = next(pf)
             m = trainer.train_step(frames, labels)
             if step % 100 == 0:
@@ -138,7 +171,12 @@ def main(argv=None):
             # a 500-step save bounds the loss to ~1 min of training
             if ckpt_path and step and step % 500 == 0:
                 save_params(ckpt_path, jax.device_get(trainer.state.params))
+                with open(ckpt_path + ".step", "w") as f:
+                    f.write(str(step))
         pf.close()
+        if ckpt_path:
+            with open(ckpt_path + ".step", "w") as f:
+                f.write(str(steps))
         log(f"{tag} done: loss={float(m['loss']):.4f}")
         return jax.device_get(trainer.state.params)
 
@@ -201,8 +239,9 @@ def main(argv=None):
     lo, hi = 445.0, 680.0 + shifts[-1]
 
     tcfg = TrackerConfig(
-        max_tracks=32, max_dets=48, pre_topk=1024, x_range=(lo - 30, hi + 30),
-        f_init=2, sigma_d=0.25, sigma_c=0.2, det_step=args.det_step, cd_max=args.cd_max,
+        max_tracks=32, max_dets=48, pre_topk=args.pre_topk, x_range=(lo - 30, hi + 30),
+        f_init=2, sigma_d=0.25, sigma_c=0.2, det_step=args.det_step,
+        skip_step=args.skip_step, cd_max=args.cd_max,
         **({} if args.w_conf is None else {"w_conf": args.w_conf}),
         estimate_ts_bias=False, merge_dist_ft=12.0, approx_topk=args.approx_topk,
         size_nudge=args.size_nudge,
@@ -273,7 +312,7 @@ def main(argv=None):
     keys = ["TP", "FP", "FN", "Recall", "Precision", "MOTA", "ID switches"]
     log(
         f"MC e2e metrics over {len(all_metrics)} runs "
-        f"(trained det + crop nets, d={args.det_step}, "
+        f"(trained det + crop nets, d={args.det_step}, s={args.skip_step}, "
         f"size_nudge={args.size_nudge}): mean +- std"
     )
     for k in keys:

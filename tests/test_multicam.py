@@ -670,3 +670,63 @@ def test_mc_clip_small_candidate_pools(toy_cameras3):
         )
         assert snaps.states7.shape == (T, cfg.max_tracks, 7)
         assert bool(jnp.all(jnp.isfinite(jnp.where(snaps.raw_mask[..., None], snaps.states7, 0.0))))
+
+
+def test_crop_step_size_nudge_pulls_to_class_mean(toy_cameras3):
+    """cfg.size_nudge applies KF measurement model 3 after the crop update:
+    live tracks' (l,w,h) move strictly toward their voted class's mean size
+    versus the same step without the nudge; position columns are driven by
+    the same crop measurement in both programs."""
+    from playground3d_tpu.models import retinanet_init
+    from playground3d_tpu.pipeline.camera_bank import bank_from_registry
+    from playground3d_tpu.pipeline.multi_cam import make_crop_step
+    from playground3d_tpu.pipeline.tracker_state import init_track_state
+    from playground3d_tpu.track.kf import default_params
+    from playground3d_tpu.utils.constants import CLASS_DIMS
+
+    reg = toy_cameras3["registry"]
+    kfp = default_params()
+    bank = bank_from_registry(reg)
+    centers = jnp.asarray(toy_cameras3["centers"])
+    crop_params = retinanet_init(jax.random.PRNGKey(1), depth=18, stem="s2d")
+
+    def run(size_nudge):
+        cfg = TrackerConfig(
+            max_tracks=8, x_range=(320.0, 880.0), cd_max=4, cs=32,
+            size_nudge=size_nudge,
+        )
+        step = make_crop_step(
+            crop_params, 18, bank, centers, kfp, cfg, stem="s2d", frame_stem="s2d"
+        )
+        state = init_track_state(cfg.max_tracks)
+        x = np.zeros((8, 6), np.float32)
+        x[:2, 0] = [500.0, 540.0]
+        x[:2, 1] = 60.0
+        # sizes far from any class mean (drifted over a long crop stretch)
+        x[:2, 2:5] = [40.0, 12.0, 11.0]
+        mask = np.zeros(8, bool)
+        mask[:2] = True
+        P = np.tile(np.eye(6, dtype=np.float32)[None] * 5.0, (8, 1, 1))
+        votes = np.zeros((8, CLASS_DIMS.shape[0]), np.float32)
+        votes[:2, 2] = 3.0  # both tracks voted class 2
+        state = state._replace(
+            kf=state.kf._replace(
+                x=jnp.asarray(x), P=jnp.asarray(P), mask=jnp.asarray(mask),
+                d=jnp.asarray(np.ones(8, np.float32)),
+            ),
+            cls_votes=jnp.asarray(votes),
+            ids=jnp.asarray(np.arange(8, dtype=np.int32)),
+        )
+        frames = jnp.asarray(np.zeros((3, 16, 24, 48), np.float32))
+        state2, _ = step(state, frames, jnp.zeros((3,), jnp.float32), jnp.zeros((3,), jnp.float32))
+        return np.asarray(state2.kf.x)
+
+    x_plain = run(False)
+    x_nudge = run(True)
+    target = CLASS_DIMS[2]  # voted class mean (l, w, h)
+    d_plain = np.abs(x_plain[:2, 2:5] - target[None])
+    d_nudge = np.abs(x_nudge[:2, 2:5] - target[None])
+    # strictly closer on every dimension of every live track
+    assert np.all(d_nudge < d_plain), (d_plain, d_nudge)
+    # dead slots untouched in both
+    np.testing.assert_array_equal(x_plain[2:], x_nudge[2:])
