@@ -20,6 +20,9 @@
 //                          fixed-point match of data/video.py:268-276)
 //   * fp_yuv420_to_s2d_u8  fused y4m decode tail: YUV420 -> RGB -> s2d pack
 //                          in one pass (no RGB frame materialized)
+//   * fp_yuv420_half_to_s2d_u8  fused 4K y4m tail: YUV420 -> 2x2 box
+//                          downsample in YUV space -> RGB -> s2d pack
+//                          (one pass; the 4K->1080p feed at ~1.5 B/px read)
 //
 // Exposed with a plain C ABI for ctypes (no pybind11 in this image).
 // Build: make -C native   (produces libframepipe.so)
@@ -485,6 +488,75 @@ extern "C" void fp_yuv420_to_s2d_u8(const uint8_t* Y, const uint8_t* U,
         yuv_row_to_rgb(Y + (size_t)ry * w, U + (size_t)(ry / 2) * cw,
                        V + (size_t)(ry / 2) * cw, buf.data(), w);
         s2d_scatter_row(buf.data(), o, w, by);
+      }
+    }
+  });
+}
+
+// exact 2x2 box average of a planar (single-channel) row pair:
+// dst[x] = (r0[2x] + r0[2x+1] + r1[2x] + r1[2x+1] + 2) >> 2.
+// AVX-512 body: vpmaddubsw with weight 1 gives the horizontal pair sums in
+// i16 lanes directly (unsigned bytes x signed 1), so one madd per source row
+// replaces the widen+shift dance of the interleaved-RGB kernel.
+static inline void down2_row_planar(const uint8_t* r0, const uint8_t* r1,
+                                    uint8_t* dst, int ow) {
+  int x = 0;
+#ifdef FP_AVX512
+  const __m512i ones = _mm512_set1_epi8(1);
+  const __m512i two = _mm512_set1_epi16(2);
+  for (; x + 32 <= ow; x += 32) {
+    __m512i a = _mm512_loadu_si512((const void*)(r0 + 2 * x));
+    __m512i b = _mm512_loadu_si512((const void*)(r1 + 2 * x));
+    __m512i s = _mm512_add_epi16(_mm512_maddubs_epi16(a, ones),
+                                 _mm512_maddubs_epi16(b, ones));
+    s = _mm512_srli_epi16(_mm512_add_epi16(s, two), 2);
+    _mm256_storeu_si256((__m256i*)(dst + x), _mm512_cvtepi16_epi8(s));
+  }
+#endif
+  for (; x < ow; ++x) {
+    dst[x] = (uint8_t)((r0[2 * x] + r0[2 * x + 1] + r1[2 * x] + r1[2 * x + 1] + 2) >> 2);
+  }
+}
+
+// fused half-res y4m decode tail for 4K sources: YUV420 planes at [h,w]
+// -> exact 2x2 box downsample IN YUV SPACE -> fixed-point RGB -> s2d pack,
+// one pass over the source planes (reads 1.5 B/px of 4K, writes 0.375).
+// Downsampling before conversion halves the conversion arithmetic and the
+// traffic vs the RGB-domain chain (fp_yuv420_to_rgb @4K + fp_preprocess_
+// s2d_u8), and is the hardware-scaler ordering; it is NOT bit-identical to
+// downsampling the converted RGB (the reference resizes decoded BGR,
+// mp_loader.py:236 — differences are sub-LSB rounding of an already-lossy
+// 2x2 average). out [(h/2)/4, (w/2)/4, 48]; bit-exact against
+// pack_s2d(yuv420_to_rgb(box2(Y), box2(U), box2(V))).
+extern "C" void fp_yuv420_half_to_s2d_u8(const uint8_t* Y, const uint8_t* U,
+                                         const uint8_t* V, uint8_t* out,
+                                         int h, int w, int n_threads) {
+  const int w1 = w / 2;    // downsampled luma width
+  const int cw = w / 2;    // source chroma width
+  const int cw1 = w1 / 2;  // downsampled chroma width
+  const int oh = (h / 2) / 4, ow = w1 / 4;
+  const int ch = h / 2;  // source chroma rows
+  run_rows(oh, n_threads, [&](int y0, int y1) {
+    std::vector<uint8_t> yrow((size_t)w1 + 64), urow((size_t)cw1 + 64),
+        vrow((size_t)cw1 + 64), buf((size_t)w1 * 3);
+    int have_cy = -1;
+    for (int y = y0; y < y1; ++y) {
+      uint8_t* o = out + (size_t)y * ow * 48;
+      for (int by = 0; by < 4; ++by) {
+        const int ry = y * 4 + by;  // output (1080p) luma row
+        down2_row_planar(Y + (size_t)(2 * ry) * w, Y + (size_t)(2 * ry + 1) * w,
+                         yrow.data(), w1);
+        const int cy = ry / 2;  // output chroma row
+        if (cy != have_cy) {
+          const int c0 = 2 * cy, c1 = c0 + 1 < ch ? c0 + 1 : c0;
+          down2_row_planar(U + (size_t)c0 * cw, U + (size_t)c1 * cw,
+                           urow.data(), cw1);
+          down2_row_planar(V + (size_t)c0 * cw, V + (size_t)c1 * cw,
+                           vrow.data(), cw1);
+          have_cy = cy;
+        }
+        yuv_row_to_rgb(yrow.data(), urow.data(), vrow.data(), buf.data(), w1);
+        s2d_scatter_row(buf.data(), o, w1, by);
       }
     }
   });

@@ -64,6 +64,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.fp_preprocess_s2d_u8.argtypes = [u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.fp_yuv420_to_rgb.argtypes = [u8p, u8p, u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.fp_yuv420_to_s2d_u8.argtypes = [u8p, u8p, u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.fp_yuv420_half_to_s2d_u8.argtypes = [u8p, u8p, u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.fp_parse_timestamp.argtypes = [u8p] + [ctypes.c_int] * 11 + [i32p, i32p]
     lib.fp_parse_timestamp.restype = ctypes.c_int
     _lib = lib
@@ -204,6 +205,25 @@ def yuv420_to_s2d_u8(Y: np.ndarray, U: np.ndarray, V: np.ndarray, n_threads: int
     h, w = Y.shape
     out = np.empty((h // 4, w // 4, 48), np.uint8)
     lib.fp_yuv420_to_s2d_u8(
+        np.ascontiguousarray(Y), np.ascontiguousarray(U), np.ascontiguousarray(V),
+        out, h, w, n_threads,
+    )
+    return out
+
+
+def yuv420_half_to_s2d_u8(Y: np.ndarray, U: np.ndarray, V: np.ndarray, n_threads: int = 1):
+    """Fused 4K y4m decode tail: full-res YUV420 planes -> exact 2x2 box
+    downsample in YUV space -> RGB -> s2d-packed uint8 [H/8,W/8,48] in one
+    pass (the reference decodes then resizes 4K->1080p, mp_loader.py:236;
+    downsampling the planes first halves the conversion arithmetic).
+    Bit-exact against ``yuv420_to_s2d_u8(box2(Y), box2(U), box2(V))``.
+    Returns None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    h, w = Y.shape
+    out = np.empty((h // 8, w // 8, 48), np.uint8)
+    lib.fp_yuv420_half_to_s2d_u8(
         np.ascontiguousarray(Y), np.ascontiguousarray(U), np.ascontiguousarray(V),
         out, h, w, n_threads,
     )

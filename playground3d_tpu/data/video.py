@@ -478,6 +478,12 @@ class VideoFrameSource(FrameSource):
             if out is None:  # no native lib: python fallback, still uint8 s2d
                 out = pack_s2d(self._rgb_from_planes(Y, U, V))
             return out, t
+        if (h, w) == (2 * th, 2 * tw):
+            # 4K source: fused plane-downsample + convert + pack (one pass,
+            # reads 1.5 B/px instead of converting the full 4K frame first)
+            out = N.yuv420_half_to_s2d_u8(Y, U, V)
+            if out is not None:
+                return out, t
         rgb = N.yuv420_to_rgb(Y, U, V)
         if rgb is None:
             rgb = self._rgb_from_planes(Y, U, V)

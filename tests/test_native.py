@@ -106,6 +106,52 @@ def test_yuv420_to_s2d_u8_fused_equals_two_step():
     np.testing.assert_array_equal(fused, pack_s2d(N.yuv420_to_rgb(Y, U, V)))
 
 
+def _box2(p):
+    p = p.astype(np.uint16)
+    return ((p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2] + 2) >> 2).astype(
+        np.uint8
+    )
+
+
+@pytest.mark.skipif(not N.native_available(), reason="no native toolchain")
+def test_yuv420_half_to_s2d_u8_equals_downsampled_planes():
+    """The fused 4K tail (downsample in YUV space, then convert+pack) is
+    bit-exact against composing the existing primitives on pre-downsampled
+    planes — including non-SIMD-multiple widths (scalar tails)."""
+    rng = np.random.default_rng(6)
+    for h, w in [(432, 768), (216, 368), (104, 200)]:
+        Y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        U = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+        V = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+        got = N.yuv420_half_to_s2d_u8(Y, U, V)
+        ref = N.yuv420_to_s2d_u8(_box2(Y), _box2(U), _box2(V))
+        np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.skipif(not N.native_available(), reason="no native toolchain")
+def test_video_source_4k_y4m_uses_fused_half_tail(tmp_path):
+    """A y4m stored at 2x the requested size goes through the fused
+    half-res tail: plane-domain downsample, then convert+pack."""
+    from playground3d_tpu.data.video import VideoFrameSource, write_y4m
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, (128, 192, 3), dtype=np.uint8) for _ in range(2)]
+    path = str(tmp_path / "t4k.y4m")
+    write_y4m(path, frames)
+
+    src = VideoFrameSource(path, resize_hw=(64, 96), parse_ts=False, emit="s2d_u8")
+    out = [f for f, _ in src]
+    assert len(out) == 2 and out[0].shape == (16, 24, 48) and out[0].dtype == np.uint8
+    # reference: decode the stored planes, box-downsample them, fused tail
+    from playground3d_tpu.data.video import _Y4MReader
+
+    rd = _Y4MReader(path)
+    for f in out:
+        Y, U, V = rd.read_planes()
+        ref = N.yuv420_to_s2d_u8(_box2(Y), _box2(U), _box2(V))
+        np.testing.assert_array_equal(f, ref)
+
+
 def test_video_source_emit_s2d_u8(tmp_path):
     """VideoFrameSource(emit='s2d_u8') yields uint8 s2d frames equivalent
     (+-1 LSB from the fixed-point decode) to packing the f32 path's frame."""
