@@ -1,0 +1,46 @@
+#!/bin/bash
+# Phase 3 of the round-3 quality gate: once gate_cadence.sh (PID given as
+# $1, optional) finishes its A/B matrix, measure bench.py fps at each
+# candidate ship configuration so the quality tables and throughput rows
+# land side by side in _outputs/bench_candidates.log.
+#
+# Runs each config twice (compile-cached second run is the number).
+set -u
+cd /root/repo
+
+GATE_PID=${1:-}
+if [ -n "$GATE_PID" ]; then
+  while kill -0 "$GATE_PID" 2>/dev/null; do sleep 60; done
+fi
+
+wait_for_tpu() {
+  for i in $(seq 1 720); do
+    if timeout 120 python -c "
+import jax
+assert jax.devices()[0].platform != 'cpu'
+import jax.numpy as jnp
+jax.jit(lambda a: (a@a).sum())(jnp.ones((128,128))).block_until_ready()
+" >/dev/null 2>&1; then
+      return 0
+    fi
+    sleep 60
+  done
+  return 1
+}
+
+LOG=_outputs/bench_candidates.log
+echo "=== bench candidates ($(date)) ===" >>"$LOG"
+
+run_bench() {
+  tag=$1; shift
+  wait_for_tpu || { echo "$tag: TPU never came back" >>"$LOG"; return 1; }
+  echo "--- $tag: $* ($(date))" >>"$LOG"
+  # shellcheck disable=SC2048,SC2086
+  env $@ timeout 1800 python bench.py >>"$LOG" 2>&1
+}
+
+run_bench d3_shipped
+run_bench d6           BENCH_DET_STEP=6
+run_bench d6_nudge     BENCH_DET_STEP=6 BENCH_SIZE_NUDGE=1
+run_bench d6s2_nudge   BENCH_DET_STEP=6 BENCH_SKIP_STEP=2 BENCH_SIZE_NUDGE=1
+echo "=== bench candidates done ($(date)) ===" >>"$LOG"
