@@ -802,6 +802,7 @@ class MultiCameraTracker:
 
         q: _queue.Queue = _queue.Queue(maxsize=2)
         DONE = object()
+        producer_err: list = []  # re-raised on the consumer side, not swallowed
 
         def producer():
             buf_f, buf_t = [], []
@@ -822,6 +823,8 @@ class MultiCameraTracker:
                     q.put(
                         (stage(np.stack(buf_f), np.asarray(buf_t, np.float32)), frame0)
                     )
+            except BaseException as e:  # noqa: BLE001 — crossing a thread boundary
+                producer_err.append(e)
             finally:
                 q.put(DONE)
 
@@ -879,6 +882,8 @@ class MultiCameraTracker:
         while pending:
             drain_one()
         thread.join(timeout=10)
+        if producer_err:
+            raise producer_err[0]
         wall = time.time() - start
         return {"frames": n, "fps": n / max(wall, 1e-9), **self.timers.totals()}
 

@@ -730,3 +730,39 @@ def test_crop_step_size_nudge_pulls_to_class_mean(toy_cameras3):
     assert np.all(d_nudge < d_plain), (d_plain, d_nudge)
     # dead slots untouched in both
     np.testing.assert_array_equal(x_plain[2:], x_nudge[2:])
+
+
+def test_track_clips_propagates_source_errors(toy_cameras3):
+    """A source iterator that dies mid-stream must surface its exception from
+    track_clips, not silently truncate the output (the producer runs on a
+    background thread; reference FrameLoader workers die visibly)."""
+    from playground3d_tpu.models import retinanet_init
+
+    reg = toy_cameras3["registry"]
+    cameras = list(toy_cameras3["ranges"].keys())
+    cfg = TrackerConfig(
+        max_tracks=16, max_dets=16, pre_topk=128, x_range=(320.0, 880.0),
+        f_init=1, det_step=1, skip_step=1, estimate_ts_bias=False,
+    )
+    det_params = retinanet_init(jax.random.PRNGKey(0), depth=18, stem="s2d")
+    tracker = MultiCameraTracker(
+        reg, cameras, cfg=cfg, det_params=det_params, depth=18,
+        centers=toy_cameras3["centers"], stem="s2d",
+    )
+
+    rng = np.random.default_rng(3)
+    frames_all = rng.uniform(-1, 1, (4, 3, 64, 96, 3)).astype(np.float32)
+
+    def sources():
+        out = []
+        for ci in range(3):
+            def gen(ci=ci):
+                for f in range(4):
+                    if ci == 1 and f == 2:
+                        raise RuntimeError("decoder died")
+                    yield frames_all[f, ci], 1.6e9 + f / 30.0
+            out.append(gen())
+        return out
+
+    with pytest.raises(RuntimeError, match="decoder died"):
+        tracker.track_clips(sources(), clip_len=2)
