@@ -463,7 +463,9 @@ static inline void yuv_row_to_rgb(const uint8_t* yr, const uint8_t* ur,
 extern "C" void fp_yuv420_to_rgb(const uint8_t* Y, const uint8_t* U,
                                  const uint8_t* V, uint8_t* out, int h, int w,
                                  int n_threads) {
-  const int cw = w / 2;
+  // 4:2:0 chroma rows are ceil(w/2) wide: a floor stride would misalign
+  // every chroma row (and read 1 byte OOB on the last) for odd widths
+  const int cw = (w + 1) / 2;
   run_rows(h, n_threads, [&](int y0, int y1) {
     for (int y = y0; y < y1; ++y) {
       yuv_row_to_rgb(Y + (size_t)y * w, U + (size_t)(y / 2) * cw,
@@ -478,7 +480,7 @@ extern "C" void fp_yuv420_to_s2d_u8(const uint8_t* Y, const uint8_t* U,
                                     const uint8_t* V, uint8_t* out, int h,
                                     int w, int n_threads) {
   const int oh = h / 4, ow = w / 4;
-  const int cw = w / 2;
+  const int cw = (w + 1) / 2;  // ceil: 4:2:0 chroma row width for odd w
   run_rows(oh, n_threads, [&](int y0, int y1) {
     std::vector<uint8_t> buf((size_t)w * 3);
     for (int y = y0; y < y1; ++y) {

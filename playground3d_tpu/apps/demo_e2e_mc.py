@@ -171,14 +171,20 @@ def main(argv=None):
             # a 500-step save bounds the loss to ~1 min of training
             if ckpt_path and step and step % 500 == 0:
                 save_params(ckpt_path, jax.device_get(trainer.state.params))
+                # params on disk include step's update -> resume at step+1
                 with open(ckpt_path + ".step", "w") as f:
-                    f.write(str(step))
+                    f.write(str(step + 1))
         pf.close()
+        final = jax.device_get(trainer.state.params)
         if ckpt_path:
+            # persist final params BEFORE declaring training complete: the
+            # device_get above is exactly where a tunnel hang would strike,
+            # and a premature .step=steps would make --resume skip the tail
+            save_params(ckpt_path, final)
             with open(ckpt_path + ".step", "w") as f:
                 f.write(str(steps))
         log(f"{tag} done: loss={float(m['loss']):.4f}")
-        return jax.device_get(trainer.state.params)
+        return final
 
     # 1. full-frame detector (s2d stem)
     if args.det_ckpt:

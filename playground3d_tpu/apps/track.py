@@ -95,7 +95,10 @@ def track_session(args):
         return itertools.chain.from_iterable(segs)
 
     stats = tracker.track_clips(
-        [cam_source(c) for c in cameras], clip_len=args.clip_len, cutoff=args.frames
+        [cam_source(c) for c in cameras], clip_len=args.clip_len, cutoff=args.frames,
+        # flat planar YUV buffers need the frame geometry for the on-device
+        # yuv420_flat_to_s2d conversion
+        yuv_hw=(args.height, args.width) if args.emit == "yuv420" else None,
     )
     tracker.write_results_csv(args.out)
     print(

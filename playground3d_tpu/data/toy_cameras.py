@@ -68,6 +68,37 @@ def register_toy_camera(
     reg.add_camera(name, corr_pts, space_pts, vps)
 
 
+def register_bench_camera(
+    image_hw: Tuple[int, int] = (1080, 1920),
+    f: float | None = None,
+    yaw_deg: float = 4.0,
+    pitch_deg: float = 6.0,
+    seed: int = 7,
+) -> Tuple[CameraRegistry, Callable[[np.ndarray], np.ndarray]]:
+    """The single fitted pole camera shared by the bench/profile/verify
+    scripts: 30 ft pole at road-x 250 looking down-road over x in [450, 680],
+    principal point at the image center, focal length scaled with width.
+
+    Returns ``(registry, projector)`` with the camera registered as "p1c1".
+    The fit is deterministic in ``seed`` so script runs are reproducible.
+    """
+    h, w = image_hw
+    if f is None:
+        f = 2000.0 * w / 1920.0
+    cx, cy = w / 2.0, h / 2.0
+    project = make_projector(
+        cam_x=250.0, cam_y=60.0, height=30.0, f=f,
+        yaw_deg=yaw_deg, pitch_deg=pitch_deg, cx=cx, cy=cy,
+    )
+    rng = np.random.default_rng(seed)
+    sp = np.stack([rng.uniform(450, 680, 24), rng.uniform(0, 120, 24)], 1)
+    im = project(np.concatenate([sp, np.zeros((24, 1))], 1))
+    vp_z = project(np.array([[550.0, 60.0, -1e7]]))[0]
+    reg = CameraRegistry()
+    reg.add_camera("p1c1", im, sp, np.array([[1e6, cy], [cx, 1e6], vp_z]))
+    return reg, project
+
+
 def toy_camera_chain(
     n_cameras: int,
     base_x: float = 350.0,

@@ -452,6 +452,21 @@ class VideoFrameSource(FrameSource):
                 return t
         return None
 
+    def _parse_ts_planes(self, Y, U, V):
+        """Convert only the timestamp strip (top rows) to RGB and parse it —
+        shared by the planar emit paths so the strip geometry lives once."""
+        from playground3d_tpu.data import native as N
+
+        t = None
+        if self.parse_ts:
+            strip_h = min(Y.shape[0], max((g.y0 + g.h for g in self._geoms)) + 2)
+            strip_h += strip_h % 2
+            ch = strip_h // 2
+            strip = N.yuv420_to_rgb(Y[:strip_h], U[:ch], V[:ch])
+            if strip is not None:
+                t = self._parse_ts_rgb(strip)
+        return self._fallback_ts(t)
+
     def _next_s2d_u8(self):
         """Fused fast path: y4m planes -> (ts strip RGB for parsing) ->
         uint8 s2d frame, no full-frame float math anywhere on the host."""
@@ -462,16 +477,7 @@ class VideoFrameSource(FrameSource):
             raise StopIteration
         Y, U, V = planes
         h, w = Y.shape
-        t = None
-        if self.parse_ts:
-            # convert only the timestamp strip (top rows) for the decoder
-            strip_h = min(h, max((g.y0 + g.h for g in self._geoms)) + 2)
-            strip_h += strip_h % 2
-            ch = strip_h // 2
-            strip = N.yuv420_to_rgb(Y[:strip_h], U[:ch], V[:ch])
-            if strip is not None:
-                t = self._parse_ts_rgb(strip)
-        t = self._fallback_ts(t)
+        t = self._parse_ts_planes(Y, U, V)
         th, tw = self.resize_hw
         if (h, w) == (th, tw):
             out = N.yuv420_to_s2d_u8(Y, U, V)
@@ -493,8 +499,6 @@ class VideoFrameSource(FrameSource):
 
     def _next_yuv420(self):
         """Raw planar bytes out; decode work deferred to the device."""
-        from playground3d_tpu.data import native as N
-
         planes = self._y4m.read_planes()
         if planes is None:
             raise StopIteration
@@ -505,15 +509,7 @@ class VideoFrameSource(FrameSource):
                 f"emit='yuv420' serves stored-size frames only ({h}x{w} != "
                 f"requested {self.resize_hw}); use emit='s2d_u8' to resize"
             )
-        t = None
-        if self.parse_ts:
-            strip_h = min(h, max((g.y0 + g.h for g in self._geoms)) + 2)
-            strip_h += strip_h % 2
-            ch = strip_h // 2
-            strip = N.yuv420_to_rgb(Y[:strip_h], U[:ch], V[:ch])
-            if strip is not None:
-                t = self._parse_ts_rgb(strip)
-        t = self._fallback_ts(t)
+        t = self._parse_ts_planes(Y, U, V)
         return np.concatenate([Y.ravel(), U.ravel(), V.ravel()]), t
 
     @staticmethod

@@ -141,12 +141,9 @@ class MOTEvaluator:
 
     def _pred_frame(self, rows):
         if self.pred_from_image:
-            state7, space, im, ids, classes = self._gt_frame(rows)
-            # keep the CSV's velocity (frame-invariant scalar, not re-derivable
-            # from a single frame's corners)
-            for i, r in enumerate(rows):
-                state7[i, 6] = parse_state_row(r)[6]
-            return state7, space, im, ids, classes
+            # _gt_frame already carries the CSV's velocity column through to
+            # state7[:, 6] (with the empty-field guard), so nothing more to do
+            return self._gt_frame(rows)
         state7 = np.stack([parse_state_row(r) for r in rows])
         space = G.state_to_space(state7)
         im = G.state_to_im(state7, self.P)

@@ -49,7 +49,7 @@ def main():
         VideoFrameSource,
         write_y4m,
     )
-    from playground3d_tpu.geometry.homography import CameraRegistry
+    from playground3d_tpu.data.toy_cameras import register_bench_camera
     from playground3d_tpu.models import retinanet_init
     from playground3d_tpu.models.quant import quantize_detector
     from playground3d_tpu.pipeline.multi_cam import MultiCameraTracker
@@ -61,23 +61,7 @@ def main():
 
     # ---- synthetic 1080p recording (cached) --------------------------------
     path = f"/tmp/pg3d_e2e_{H}x{W}_{args.frames}.y4m"
-    rng = np.random.default_rng(7)
-    f, cx, cy = 2000.0 * W / 1920.0, W / 2.0, H / 2.0
-    cam_pos = np.array([250.0, 60.0, -30.0])
-
-    def project(p3):
-        d = p3 - cam_pos
-        yaw, pitch = np.deg2rad(4.0), np.deg2rad(6.0)
-        Ry = np.array([[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0], [-np.sin(yaw), 0, np.cos(yaw)]])
-        Rx = np.array([[1, 0, 0], [0, np.cos(pitch), -np.sin(pitch)], [0, np.sin(pitch), np.cos(pitch)]])
-        cam = np.stack([d[:, 1], -d[:, 2], d[:, 0]], 1) @ Ry.T @ Rx.T
-        return np.stack([f * cam[:, 0] / cam[:, 2] + cx, f * cam[:, 1] / cam[:, 2] + cy], 1)
-
-    sp = np.stack([rng.uniform(450, 680, 24), rng.uniform(0, 120, 24)], 1)
-    im = project(np.concatenate([sp, np.zeros((24, 1))], 1))
-    vp_z = project(np.array([[550.0, 60.0, -1e7]]))[0]
-    reg = CameraRegistry()
-    reg.add_camera("p1c1", im, sp, np.array([[1e6, cy], [cx, 1e6], vp_z]))
+    reg, project = register_bench_camera(image_hw=(H, W))
 
     if not os.path.exists(path):
         print(f"rendering {args.frames} synthetic {H}p frames -> {path}", flush=True)
@@ -145,7 +129,8 @@ def main():
     jax.device_put(clip_np[:1]).block_until_ready()  # warm the path
     t0 = time.perf_counter()
     x = jax.device_put(clip_np)
-    float(jnp.sum(jnp.asarray(x, jnp.int32)))  # force the bytes to land
+    # f32 accumulate: an int32 sum of ~150M bytes (~1.9e10) would wrap
+    float(jnp.sum(jnp.asarray(x, jnp.float32)))  # force the bytes to land
     dt = time.perf_counter() - t0
     link_mbps = clip_np.nbytes / dt / 1e6
     print(

@@ -31,7 +31,7 @@ def main():
         pass
 
     from playground3d_tpu.data.video import pack_s2d
-    from playground3d_tpu.geometry.homography import CameraRegistry
+    from playground3d_tpu.data.toy_cameras import register_bench_camera
     from playground3d_tpu.models import retinanet_init
     from playground3d_tpu.models.quant import quantize_detector
     from playground3d_tpu.pipeline.camera_bank import bank_from_registry
@@ -41,23 +41,7 @@ def main():
     from playground3d_tpu.utils.config import TrackerConfig
 
     H, W = 1080, 1920
-    rng = np.random.default_rng(7)
-    f, cx, cy = 2000.0, 960.0, 540.0
-    cam_pos = np.array([250.0, 60.0, -30.0])
-
-    def project(p3):
-        d = p3 - cam_pos
-        yaw, pitch = np.deg2rad(4.0), np.deg2rad(6.0)
-        Ry = np.array([[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0], [-np.sin(yaw), 0, np.cos(yaw)]])
-        Rx = np.array([[1, 0, 0], [0, np.cos(pitch), -np.sin(pitch)], [0, np.sin(pitch), np.cos(pitch)]])
-        cam = np.stack([d[:, 1], -d[:, 2], d[:, 0]], 1) @ Ry.T @ Rx.T
-        return np.stack([f * cam[:, 0] / cam[:, 2] + cx, f * cam[:, 1] / cam[:, 2] + cy], 1)
-
-    sp = np.stack([rng.uniform(450, 680, 24), rng.uniform(0, 120, 24)], 1)
-    im = project(np.concatenate([sp, np.zeros((24, 1))], 1))
-    vp_z = project(np.array([[550.0, 60.0, -1e7]]))[0]
-    reg = CameraRegistry()
-    reg.add_camera("p1c1", im, sp, np.array([[1e6, cy], [cx, 1e6], vp_z]))
+    reg, _ = register_bench_camera(image_hw=(H, W))
 
     cfg = TrackerConfig(
         max_tracks=64, max_dets=48, pre_topk=512, x_range=(300.0, 800.0),

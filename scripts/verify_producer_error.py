@@ -17,28 +17,9 @@ print("devices:", jax.devices(), flush=True)
 from playground3d_tpu.models import retinanet_init
 from playground3d_tpu.pipeline.multi_cam import MultiCameraTracker
 from playground3d_tpu.utils.config import TrackerConfig
-from playground3d_tpu.geometry.homography import CameraRegistry
+from playground3d_tpu.data.toy_cameras import register_bench_camera
 
-
-def toy_registry():
-    rng = np.random.default_rng(7)
-    f, cx, cy = 500.0, 48.0, 32.0
-    cam_pos = np.array([250.0, 60.0, -30.0])
-
-    def project(p3):
-        d = p3 - cam_pos
-        cam = np.stack([d[:, 1], -d[:, 2], d[:, 0]], 1)
-        return np.stack([f * cam[:, 0] / cam[:, 2] + cx, f * cam[:, 1] / cam[:, 2] + cy], 1)
-
-    sp = np.stack([rng.uniform(450, 680, 24), rng.uniform(0, 120, 24)], 1)
-    im = project(np.concatenate([sp, np.zeros((24, 1))], 1))
-    vp_z = project(np.array([[550.0, 60.0, -1e7]]))[0]
-    reg = CameraRegistry()
-    reg.add_camera("p1c1", im, sp, np.array([[1e6, cy], [cx, 1e6], vp_z]))
-    return reg
-
-
-reg = toy_registry()
+reg, _ = register_bench_camera(image_hw=(64, 96), f=500.0, yaw_deg=0.0, pitch_deg=0.0)
 cfg = TrackerConfig(
     max_tracks=16, max_dets=16, pre_topk=128, x_range=(300.0, 800.0),
     f_init=1, det_step=1, skip_step=1, estimate_ts_bias=False,

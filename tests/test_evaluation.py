@@ -136,6 +136,35 @@ def test_mot_evaluator_perfect_match(tmp_path, camera_geom):
     assert metrics["Y precision"][0] < 0.2
 
 
+def test_mot_evaluator_pred_from_image_empty_speed(tmp_path, camera_geom):
+    """pred_from_image must tolerate an empty speed field like the GT path
+    does (regression: a redundant velocity-override loop crashed on '')."""
+    H, P = camera_geom
+    gt = _make_track_records(camera_geom, n_frames=5)
+    pred = _make_track_records(camera_geom, n_frames=5, id_offset=100)
+    gt_path, pred_path = str(tmp_path / "gt.csv"), str(tmp_path / "pred.csv")
+    write_results_csv(gt_path, gt)
+    write_results_csv(pred_path, pred)
+    # blank the speed column of every pred row (as in hand-labeled CSVs)
+    from playground3d_tpu.evaluation.csv_io import COL_SPEED
+
+    rows = open(pred_path).read().splitlines()
+    hdr_n = len(rows) - sum(1 for r in rows if r.split(",")[0].strip().isdigit())
+    out = rows[:hdr_n]
+    for r in rows[hdr_n:]:
+        cells = r.split(",")
+        cells[COL_SPEED] = ""
+        out.append(",".join(cells))
+    open(pred_path, "w").write("\n".join(out) + "\n")
+
+    ev = MOTEvaluator(
+        gt_path, pred_path, H, P, match_iou=0.5, cutoff_frame=5,
+        pred_from_image=True,
+    )
+    metrics = ev.evaluate()
+    assert metrics["TP"] == 25 and metrics["FN"] == 0
+
+
 def test_mot_evaluator_detects_errors(tmp_path, camera_geom):
     H, P = camera_geom
     gt = _make_track_records(camera_geom, n_frames=20)

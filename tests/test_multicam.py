@@ -520,10 +520,12 @@ def test_track_clips_driver_matches_per_frame(toy_cameras3):
         np.testing.assert_allclose(r2[3], r3[3], rtol=1e-5, atol=1e-5)
 
 
-def test_session_mode_cli_end_to_end(tmp_path, toy_cameras3):
+@pytest.mark.parametrize("emit", ["s2d_u8", "yuv420"])
+def test_session_mode_cli_end_to_end(tmp_path, toy_cameras3, emit):
     """Production flow: session directory of y4m recordings -> discovery ->
     decode -> ignore regions -> fused clip tracking -> CSV (apps/track.py
-    --mode session; reference MC3D __main__:1469-1651)."""
+    --mode session; reference MC3D __main__:1469-1651). emit=yuv420 covers
+    the on-device color-conversion wiring (yuv_hw plumbed to track_clips)."""
     import os
 
     from playground3d_tpu.apps import track as track_app
@@ -570,7 +572,7 @@ def test_session_mode_cli_end_to_end(tmp_path, toy_cameras3):
             "--registry", reg_path, "--ignore-dir", str(igdir),
             "--depth", "18", "--frames", "6", "--clip-len", "3",
             "--det-step", "1", "--height", str(H), "--width", str(W),
-            "--out", out,
+            "--emit", emit, "--out", out,
         ]
     )
     assert os.path.exists(out)
