@@ -10,6 +10,11 @@ The reference's only parallelism is single-process ``nn.DataParallel`` over
   all-reduce.
 * **multi-camera inference**: the camera axis of the stacked frame batch
   sharded over the same mesh (one camera pool shard per chip).
+* **single-frame latency**: GSPMD spatial partitioning — shard one frame's
+  width across the mesh and let XLA insert the conv halo exchanges
+  (collective-permutes over ICI). No reference counterpart exists:
+  ``nn.DataParallel`` can only scale batch throughput, never the latency
+  of one frame.
 """
 
 from __future__ import annotations
@@ -55,3 +60,28 @@ def shard_batch(mesh: Mesh, tree, axis: str = DATA_AXIS):
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def spatial_sharding(mesh: Mesh, shape, axis: str = DATA_AXIS) -> NamedSharding:
+    """Sharding that splits ONE frame's spatial extent across the mesh.
+
+    ``shape`` is the frame batch layout ``[N, H', W', C]`` (s2d-packed or
+    raw NHWC). Prefers the width axis (s2d 1080p/4K widths 480/960 divide
+    typical mesh sizes; heights 270/540 do not), falls back to height, and
+    to replication if neither divides the mesh. XLA/GSPMD keeps every conv
+    spatially partitioned and inserts halo collective-permutes at kernel
+    boundaries, so N chips cut single-frame detector latency ~N-fold —
+    a lever DataParallel fundamentally lacks (train_detector_3D_angle.py:
+    316-318 only scales batch).
+    """
+    n = mesh.devices.size
+    if len(shape) >= 3 and shape[2] % n == 0:
+        return NamedSharding(mesh, P(None, None, axis))
+    if len(shape) >= 2 and shape[1] % n == 0:
+        return NamedSharding(mesh, P(None, axis))
+    return replicated(mesh)
+
+
+def shard_spatial(mesh: Mesh, frames, axis: str = DATA_AXIS):
+    """device_put a frame batch with its spatial width (or height) sharded."""
+    return jax.device_put(frames, spatial_sharding(mesh, frames.shape, axis))

@@ -59,3 +59,33 @@ def test_camera_sharded_detect(params):
         np.asarray(det.scores), np.asarray(ref.scores), atol=1e-5
     )
     np.testing.assert_array_equal(np.asarray(det.cam_idx), np.asarray(ref.cam_idx))
+
+
+def test_spatial_sharded_forward_matches():
+    """GSPMD spatial partitioning: ONE s2d frame with its width sharded
+    across the mesh produces the replicated result exactly (XLA inserts the
+    conv halo exchanges). This is the single-frame latency lever that the
+    reference's nn.DataParallel cannot express."""
+    from playground3d_tpu.parallel.mesh import shard_spatial, spatial_sharding
+
+    mesh = make_mesh(8)
+    params = retinanet_init(jax.random.PRNGKey(0), depth=18, stem="s2d")
+    rng = np.random.default_rng(2)
+    # s2d-packed uint8 frame, width 64 divides the mesh; height 34 does not
+    x = rng.integers(0, 256, (1, 34, 64, 48), dtype=np.uint8)
+
+    sh = spatial_sharding(mesh, x.shape)
+    assert sh.spec == P(None, None, "data")
+    xs = shard_spatial(mesh, x)
+    assert len(xs.sharding.device_set) == 8
+
+    fwd = jax.jit(lambda p, im: forward_raw(p, im, depth=18, stem="s2d"))
+    ref = jax.tree_util.tree_leaves(fwd(params, jnp.asarray(x)))
+    out = jax.tree_util.tree_leaves(fwd(params, xs))
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=2e-5, atol=2e-5
+        )
+
+    # indivisible spatial dims fall back to replication, never crash
+    assert spatial_sharding(mesh, (1, 33, 67, 48)).spec == P()
