@@ -98,6 +98,11 @@ def main() -> None:
     # class-size KF nudge (measurement model 3) in the crop branch — the
     # drift counter that quality-gates long detection gaps (d>=6)
     SIZE_NUDGE = os.environ.get("BENCH_SIZE_NUDGE", "0") == "1"
+    # live slots cropped per crop frame (oldest-first priority). The crop
+    # step's cost scales with this pool, and at d>=6 crop frames dominate
+    # the clip (5 of every 6), so 16 vs 32 is a first-order fps lever for
+    # scenes with <=16 concurrent tracks per camera.
+    CROP_SLOTS = int(os.environ.get("BENCH_CROP_SLOTS", "32"))
 
     # synthetic camera registry (geometry constants only)
     rng = np.random.default_rng(7)
@@ -120,7 +125,7 @@ def main() -> None:
 
     cfg = TrackerConfig(
         max_tracks=64, max_dets=48, pre_topk=PRE_TOPK, x_range=(300.0, 800.0),
-        det_step=DET_STEP, skip_step=SKIP_STEP, crop_slots=32, cd_max=CD_MAX, cs=112,
+        det_step=DET_STEP, skip_step=SKIP_STEP, crop_slots=CROP_SLOTS, cd_max=CD_MAX, cs=112,
         estimate_ts_bias=TS_BIAS, approx_topk=APPROX_TOPK, det_min_level=MIN_LEVEL,
         size_nudge=SIZE_NUDGE,
     )
