@@ -115,6 +115,13 @@ def main(argv=None):
         "--size-nudge", action="store_true",
         help="class-size KF nudge in the crop branch (measurement model 3)",
     )
+    ap.add_argument(
+        "--crop-slots", type=int, default=0,
+        help="live slots cropped per crop frame, oldest first (0 = all); "
+        "the crop step's cost scales with this pool and at d>=6 crop "
+        "frames dominate, so 16 vs 32 is a first-order fps lever whose "
+        "quality cost this A/B measures",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -247,7 +254,7 @@ def main(argv=None):
     tcfg = TrackerConfig(
         max_tracks=32, max_dets=48, pre_topk=args.pre_topk, x_range=(lo - 30, hi + 30),
         f_init=2, sigma_d=0.25, sigma_c=0.2, det_step=args.det_step,
-        skip_step=args.skip_step, cd_max=args.cd_max,
+        skip_step=args.skip_step, cd_max=args.cd_max, crop_slots=args.crop_slots,
         **({} if args.w_conf is None else {"w_conf": args.w_conf}),
         estimate_ts_bias=False, merge_dist_ft=12.0, approx_topk=args.approx_topk,
         size_nudge=args.size_nudge,
@@ -301,9 +308,16 @@ def main(argv=None):
         return ev.evaluate()
 
     # quality gate: >=1 sequences x >=1 render seeds with the same nets;
-    # single-sequence A/Bs are within seed noise (VERDICT r2 weak #3)
-    scene_seeds = [99, 231, 47][: args.sequences]
-    render_seeds = [5, 17][: args.track_seeds]
+    # single-sequence A/Bs are within seed noise (VERDICT r2 weak #3).
+    # Fixed seeds first (comparable across A/B runs), deterministic
+    # extension beyond them so --sequences/--track-seeds never silently
+    # truncate the requested spread.
+    scene_seeds = ([99, 231, 47] + [1000 + 13 * i for i in range(args.sequences)])[
+        : args.sequences
+    ]
+    render_seeds = ([5, 17] + [2000 + 7 * i for i in range(args.track_seeds)])[
+        : args.track_seeds
+    ]
     all_metrics = []
     for ss in scene_seeds:
         for rs in render_seeds:

@@ -463,8 +463,13 @@ class VideoFrameSource(FrameSource):
             strip_h += strip_h % 2
             ch = strip_h // 2
             strip = N.yuv420_to_rgb(Y[:strip_h], U[:ch], V[:ch])
-            if strip is not None:
-                t = self._parse_ts_rgb(strip)
+            if strip is None:
+                # no native lib: the float-exact python converter keeps real
+                # burned-in epochs flowing (ts-bias estimation and cross-camera
+                # sync depend on them) instead of silently degrading to the
+                # synthetic previous+1/30 fallback clock
+                strip = self._rgb_from_planes(Y[:strip_h], U[:ch], V[:ch])
+            t = self._parse_ts_rgb(strip)
         return self._fallback_ts(t)
 
     def _next_s2d_u8(self):

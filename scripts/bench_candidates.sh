@@ -7,26 +7,13 @@
 # Runs each config twice (compile-cached second run is the number).
 set -u
 cd /root/repo
+. scripts/lib.sh
 
 GATE_PID=${1:-}
 if [ -n "$GATE_PID" ]; then
   while kill -0 "$GATE_PID" 2>/dev/null; do sleep 60; done
 fi
 
-wait_for_tpu() {
-  for i in $(seq 1 720); do
-    if timeout 120 python -c "
-import jax
-assert jax.devices()[0].platform != 'cpu'
-import jax.numpy as jnp
-jax.jit(lambda a: (a@a).sum())(jnp.ones((128,128))).block_until_ready()
-" >/dev/null 2>&1; then
-      return 0
-    fi
-    sleep 60
-  done
-  return 1
-}
 
 LOG=_outputs/bench_candidates.log
 echo "=== bench candidates ($(date)) ===" >>"$LOG"

@@ -11,26 +11,13 @@
 # Usage: bench_crop_slots.sh [pid-to-wait-for]
 set -u
 cd /root/repo
+. scripts/lib.sh
 
 WAIT_PID=${1:-}
 if [ -n "$WAIT_PID" ]; then
   while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 60; done
 fi
 
-wait_for_tpu() {
-  for i in $(seq 1 720); do
-    if timeout 120 python -c "
-import jax
-assert jax.devices()[0].platform != 'cpu'
-import jax.numpy as jnp
-jax.jit(lambda a: (a@a).sum())(jnp.ones((128,128))).block_until_ready()
-" >/dev/null 2>&1; then
-      return 0
-    fi
-    sleep 60
-  done
-  return 1
-}
 
 LOG=_outputs/bench_crop_slots.log
 echo "=== bench crop slots ($(date)) ===" >>"$LOG"

@@ -97,6 +97,7 @@ def main():
         jax.random.PRNGKey(1), num_classes=8, depth=18, stem="s2d",
         tower_depth=2, shared_tower=True,
     )
+    rng = np.random.default_rng(7)
     calib = pack_s2d(rng.integers(0, 256, (H, W, 3), dtype=np.uint8))
     det_params = quantize_detector(det_params, calib[None], 50, stem="s2d")
     crop_calib = rng.integers(0, 256, (4, 28, 28, 48), dtype=np.uint8)

@@ -12,27 +12,12 @@
 # progress is monotonic thanks to --resume.
 set -u
 cd /root/repo
+. scripts/lib.sh
 
 MAX_TRY=4
 DET=_outputs/mc_det.npz
 CROP=_outputs/mc_crop.npz
 
-wait_for_tpu() {
-  # the axon tunnel can drop; don't burn retries while it is down
-  for i in $(seq 1 720); do
-    if timeout 120 python -c "
-import jax
-assert jax.devices()[0].platform != 'cpu'
-import jax.numpy as jnp
-jax.jit(lambda a: (a@a).sum())(jnp.ones((128,128))).block_until_ready()
-" >/dev/null 2>&1; then
-      return 0
-    fi
-    sleep 60
-  done
-  echo "TPU never came back" >&2
-  return 1
-}
 
 train_cmd() {
   timeout 9000 python -m playground3d_tpu.apps.demo_e2e_mc \

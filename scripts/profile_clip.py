@@ -56,6 +56,7 @@ def main():
         jax.random.PRNGKey(1), num_classes=8, depth=18, stem="s2d",
         tower_depth=2, shared_tower=True,
     )
+    rng = np.random.default_rng(7)
     raw = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
     packed = pack_s2d(raw)
     det_params = quantize_detector(det_params, packed[None], 50, stem="s2d")

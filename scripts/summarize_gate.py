@@ -76,6 +76,37 @@ def main():
             cells.append("—" if mu_sd is None else f"{mu_sd[0]:.3f} ± {mu_sd[1]:.3f}")
         print(f"| {tag} ({parsed['cfg']}) | " + " | ".join(cells) + " |")
 
+    # ship decision: a candidate may replace the d3 default only if its mean
+    # MOTA drop is within SHIP_TOL even after allowing one standard error of
+    # the difference (so the call is not made on noise):
+    #   SHIPPABLE  delta - sem >= -SHIP_TOL   (drop bounded even pessimistically)
+    #   MARGINAL   delta >= -SHIP_TOL but the sem-adjusted bound fails
+    #              (point estimate passes; add runs to tighten sem)
+    #   blocked    delta < -SHIP_TOL
+    SHIP_TOL = 0.02
+    by_tag = dict(rows)
+    base = by_tag.get("d3")
+    if base is None or "MOTA" not in base["stats"]:
+        return
+    b_mu, b_sd = base["stats"]["MOTA"]
+    b_n = max(base["n"], 1)
+    print(f"\nShip decision vs d3 baseline (MOTA {b_mu:.3f} ± {b_sd:.3f}, tol {SHIP_TOL}):")
+    for tag, parsed in rows:
+        if tag == "d3" or "MOTA" not in parsed["stats"]:
+            continue
+        mu, sd = parsed["stats"]["MOTA"]
+        n = max(parsed["n"], 1)
+        delta = mu - b_mu
+        # standard error of the difference of the two run-means
+        sem = (b_sd**2 / b_n + sd**2 / n) ** 0.5
+        if delta - sem >= -SHIP_TOL:
+            verdict = "SHIPPABLE"
+        elif delta >= -SHIP_TOL:
+            verdict = "MARGINAL (within tol but not beyond noise; add runs)"
+        else:
+            verdict = "blocked"
+        print(f"  {tag:>18}: dMOTA {delta:+.3f} (sem {sem:.3f}) -> {verdict}")
+
 
 if __name__ == "__main__":
     main()

@@ -142,6 +142,40 @@ def test_y4m_video_source_decodes_with_timestamps(tmp_path, toy_camera):
         np.testing.assert_allclose(t, t0 + i / 30.0, atol=5e-3)
 
 
+def test_planar_ts_parse_without_native_lib(tmp_path, toy_camera, monkeypatch):
+    """The planar emit paths must keep parsing burned-in epochs when the
+    native strip converter is unavailable (python _rgb_from_planes fallback)
+    instead of silently degrading to the synthetic prev+1/30 clock — ts-bias
+    estimation and cross-camera sync depend on real timestamps."""
+    from playground3d_tpu.data import native as N
+    from playground3d_tpu.data.synthetic import SyntheticScene
+    from playground3d_tpu.data.video import (
+        SyntheticVideoSource,
+        VideoFrameSource,
+        write_y4m,
+    )
+
+    reg = toy_camera["registry"]
+    P = reg.P[0, 0]
+    scene = SyntheticScene(n_objects=4, seed=3)
+    t0 = 1.6e9
+    src = SyntheticVideoSource(
+        scene, P, n_frames=6, t0=t0, height=270, width=480,
+        normalized=False, burn_timestamp=True,
+    )
+    frames_u8 = [(np.clip(f, 0, 1) * 255).astype(np.uint8) for f, _ in src]
+    path = str(tmp_path / "clip.y4m")
+    write_y4m(path, frames_u8, fps=30)
+
+    monkeypatch.setattr(N, "yuv420_to_rgb", lambda *a, **k: None)
+    for emit in ("s2d_u8", "yuv420"):
+        vsrc = VideoFrameSource(path, resize_hw=(270, 480), emit=emit)
+        decoded = list(vsrc)
+        assert len(decoded) == 6
+        for i, (_frame, t) in enumerate(decoded):
+            np.testing.assert_allclose(t, t0 + i / 30.0, atol=5e-3)
+
+
 def test_y4m_roundtrip_rgb(tmp_path):
     from playground3d_tpu.data.video import _Y4MReader, write_y4m
 
