@@ -23,6 +23,8 @@
 //   * fp_yuv420_half_to_s2d_u8  fused 4K y4m tail: YUV420 -> 2x2 box
 //                          downsample in YUV space -> RGB -> s2d pack
 //                          (one pass; the 4K->1080p feed at ~1.5 B/px read)
+//   * fp_plane_half        2x2 box downsample of one 8-bit plane (4K
+//                          emit='yuv420': quarter-size planes to device)
 //
 // Exposed with a plain C ABI for ctypes (no pybind11 in this image).
 // Build: make -C native   (produces libframepipe.so)
@@ -518,6 +520,21 @@ static inline void down2_row_planar(const uint8_t* r0, const uint8_t* r1,
   for (; x < ow; ++x) {
     dst[x] = (uint8_t)((r0[2 * x] + r0[2 * x + 1] + r1[2 * x] + r1[2 * x + 1] + 2) >> 2);
   }
+}
+
+// exact 2x2 box downsample of one 8-bit plane: in [h,w] -> out [h/2,w/2].
+// Building block for the 4K emit='yuv420' feed: downsample Y/U/V planes on
+// the host (quarter the bytes shipped) and leave color conversion + s2d
+// packing on device (pipeline.multi_cam.yuv420_flat_to_s2d).
+extern "C" void fp_plane_half(const uint8_t* in, uint8_t* out, int h, int w,
+                              int n_threads) {
+  const int oh = h / 2, ow = w / 2;
+  run_rows(oh, n_threads, [&](int y0, int y1) {
+    for (int y = y0; y < y1; ++y) {
+      down2_row_planar(in + (size_t)(2 * y) * w, in + (size_t)(2 * y + 1) * w,
+                       out + (size_t)y * ow, ow);
+    }
+  });
 }
 
 // fused half-res y4m decode tail for 4K sources: YUV420 planes at [h,w]

@@ -65,6 +65,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.fp_yuv420_to_rgb.argtypes = [u8p, u8p, u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.fp_yuv420_to_s2d_u8.argtypes = [u8p, u8p, u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.fp_yuv420_half_to_s2d_u8.argtypes = [u8p, u8p, u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.fp_plane_half.argtypes = [u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.fp_parse_timestamp.argtypes = [u8p] + [ctypes.c_int] * 11 + [i32p, i32p]
     lib.fp_parse_timestamp.restype = ctypes.c_int
     _lib = lib
@@ -227,6 +228,30 @@ def yuv420_half_to_s2d_u8(Y: np.ndarray, U: np.ndarray, V: np.ndarray, n_threads
         np.ascontiguousarray(Y), np.ascontiguousarray(U), np.ascontiguousarray(V),
         out, h, w, n_threads,
     )
+    return out
+
+
+def box2_plane(plane: np.ndarray) -> np.ndarray:
+    """Exact 2x2 box average of one uint8 plane (numpy twin of
+    ``fp_plane_half``; (a+b+c+d+2)>>2 rounding)."""
+    h, w = plane.shape
+    p = plane[: h // 2 * 2, : w // 2 * 2].astype(np.uint16)
+    return (
+        (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2] + 2) >> 2
+    ).astype(np.uint8)
+
+
+def plane_half(plane: np.ndarray, n_threads: int = 1) -> np.ndarray:
+    """2x2 box downsample of one 8-bit plane [h,w] -> [h/2,w/2] (the 4K
+    ``emit='yuv420'`` feed: quarter-size planes ship to the device, color
+    conversion stays on-chip). Falls back to the numpy twin — never None,
+    unlike the fused kernels, because callers need the planes either way."""
+    lib = _load()
+    if lib is None:
+        return box2_plane(plane)
+    h, w = plane.shape
+    out = np.empty((h // 2, w // 2), np.uint8)
+    lib.fp_plane_half(np.ascontiguousarray(plane), out, h, w, n_threads)
     return out
 
 

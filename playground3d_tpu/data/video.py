@@ -503,18 +503,30 @@ class VideoFrameSource(FrameSource):
         return N.s2d_u8(np.ascontiguousarray(resize_frame(rgb, self.resize_hw))), t
 
     def _next_yuv420(self):
-        """Raw planar bytes out; decode work deferred to the device."""
+        """Raw planar bytes out; decode work deferred to the device. 4K
+        sources are box-downsampled per plane on the host (quarter the bytes
+        shipped, native fp_plane_half) — color conversion still on-chip."""
+        from playground3d_tpu.data import native as N
+
         planes = self._y4m.read_planes()
         if planes is None:
             raise StopIteration
         Y, U, V = planes
         h, w = Y.shape
-        if (h, w) != tuple(self.resize_hw):
-            raise RuntimeError(
-                f"emit='yuv420' serves stored-size frames only ({h}x{w} != "
-                f"requested {self.resize_hw}); use emit='s2d_u8' to resize"
-            )
+        th, tw = self.resize_hw
+        # timestamps parse at native resolution, BEFORE any resize
+        # (mp_loader.py order)
         t = self._parse_ts_planes(Y, U, V)
+        if (h, w) == (2 * th, 2 * tw):
+            Y = N.plane_half(Y)
+            U = N.plane_half(U)
+            V = N.plane_half(V)
+        elif (h, w) != (th, tw):
+            raise RuntimeError(
+                f"emit='yuv420' serves stored-size or exactly-2x frames only "
+                f"({h}x{w} vs requested {self.resize_hw}); use emit='s2d_u8' "
+                f"for other ratios"
+            )
         return np.concatenate([Y.ravel(), U.ravel(), V.ravel()]), t
 
     @staticmethod

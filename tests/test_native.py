@@ -128,6 +128,42 @@ def test_yuv420_half_to_s2d_u8_equals_downsampled_planes():
         np.testing.assert_array_equal(got, ref)
 
 
+def test_plane_half_matches_numpy_twin():
+    """fp_plane_half (single-plane 2x2 box, SIMD + scalar tails) is
+    bit-exact against box2_plane at SIMD-multiple and odd sizes; the
+    wrapper also serves the numpy twin when the lib is absent."""
+    rng = np.random.default_rng(8)
+    for h, w in [(256, 512), (216, 368), (34, 66), (7, 9)]:
+        p = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        got = N.plane_half(p)
+        assert got.shape == (h // 2, w // 2)
+        np.testing.assert_array_equal(got, N.box2_plane(p))
+
+
+def test_video_source_4k_yuv420_emit_ships_quarter_planes(tmp_path):
+    """emit='yuv420' from a y4m stored at 2x the requested size: the host
+    box-downsamples each plane (fp_plane_half) and ships quarter-size flat
+    bytes; the planes must equal downsampling the stored planes directly."""
+    from playground3d_tpu.data.video import VideoFrameSource, _Y4MReader, write_y4m
+
+    rng = np.random.default_rng(9)
+    frames = [rng.integers(0, 256, (128, 192, 3), dtype=np.uint8) for _ in range(2)]
+    path = str(tmp_path / "t4k_yuv.y4m")
+    write_y4m(path, frames)
+
+    th, tw = 64, 96
+    out = list(VideoFrameSource(path, resize_hw=(th, tw), parse_ts=False, emit="yuv420"))
+    assert len(out) == 2
+    rd = _Y4MReader(path)
+    for flat, _t in out:
+        assert flat.shape == (th * tw * 3 // 2,) and flat.dtype == np.uint8
+        Y, U, V = rd.read_planes()
+        ref = np.concatenate(
+            [N.box2_plane(Y).ravel(), N.box2_plane(U).ravel(), N.box2_plane(V).ravel()]
+        )
+        np.testing.assert_array_equal(flat, ref)
+
+
 @pytest.mark.skipif(not N.native_available(), reason="no native toolchain")
 def test_video_source_4k_y4m_uses_fused_half_tail(tmp_path):
     """A y4m stored at 2x the requested size goes through the fused
@@ -213,8 +249,11 @@ def test_video_source_emit_yuv420_roundtrip(tmp_path):
         assert tr == tf
         dev = np.asarray(yuv420_flat_to_s2d(buf[None, None], (64, 96)))[0, 0]
         assert np.abs(dev.astype(int) - fs.astype(int)).max() <= 1
-    # resize request through the yuv420 path must fail loudly
+    # exactly-2x requests now box-downsample per plane on the host
+    half, _t = next(iter(VideoFrameSource(path, resize_hw=(32, 48), parse_ts=False, emit="yuv420")))
+    assert half.shape == (32 * 48 * 3 // 2,)
+    # any other ratio through the yuv420 path must still fail loudly
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError):
-        next(iter(VideoFrameSource(path, resize_hw=(32, 48), parse_ts=False, emit="yuv420")))
+        next(iter(VideoFrameSource(path, resize_hw=(16, 24), parse_ts=False, emit="yuv420")))
