@@ -43,10 +43,16 @@ def main():
     H, W = 1080, 1920
     reg, _ = register_bench_camera(image_hw=(H, W))
 
+    # same knobs as bench.py so any candidate ship config can be traced
+    # (e.g. PROFILE_DET_STEP=6 PROFILE_CROP_SLOTS=16 for the d=6 slot study)
     cfg = TrackerConfig(
         max_tracks=64, max_dets=48, pre_topk=512, x_range=(300.0, 800.0),
-        det_step=3, skip_step=1, crop_slots=32, cd_max=8, cs=112,
+        det_step=int(os.environ.get("PROFILE_DET_STEP", "3")),
+        skip_step=int(os.environ.get("PROFILE_SKIP_STEP", "1")),
+        crop_slots=int(os.environ.get("PROFILE_CROP_SLOTS", "32")),
+        cd_max=8, cs=112,
         estimate_ts_bias=False, approx_topk=True,
+        size_nudge=os.environ.get("PROFILE_SIZE_NUDGE", "0") == "1",
     )
     kfp = default_params()
     bank = bank_from_registry(reg)
