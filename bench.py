@@ -98,6 +98,10 @@ def main() -> None:
     # class-size KF nudge (measurement model 3) in the crop branch — the
     # drift counter that quality-gates long detection gaps (d>=6)
     SIZE_NUDGE = os.environ.get("BENCH_SIZE_NUDGE", "0") == "1"
+    # skip crop KF updates below sigma_c (occlusion drift counter; the
+    # reference updates unconditionally) — fps-neutral by construction
+    # (same program shape), measured for completeness
+    CROP_CONF_GATE = os.environ.get("BENCH_CROP_CONF_GATE", "0") == "1"
     # live slots cropped per crop frame (oldest-first priority). The crop
     # step's cost scales with this pool, and at d>=6 crop frames dominate
     # the clip (5 of every 6), so 16 vs 32 is a first-order fps lever for
@@ -127,7 +131,7 @@ def main() -> None:
         max_tracks=64, max_dets=48, pre_topk=PRE_TOPK, x_range=(300.0, 800.0),
         det_step=DET_STEP, skip_step=SKIP_STEP, crop_slots=CROP_SLOTS, cd_max=CD_MAX, cs=112,
         estimate_ts_bias=TS_BIAS, approx_topk=APPROX_TOPK, det_min_level=MIN_LEVEL,
-        size_nudge=SIZE_NUDGE,
+        size_nudge=SIZE_NUDGE, crop_conf_gate=CROP_CONF_GATE,
     )
     kfp = default_params()
     bank = bank_from_registry(reg)

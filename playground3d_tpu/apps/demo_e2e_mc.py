@@ -116,6 +116,12 @@ def main(argv=None):
         help="class-size KF nudge in the crop branch (measurement model 3)",
     )
     ap.add_argument(
+        "--crop-conf-gate", action="store_true",
+        help="skip crop-branch KF updates below sigma_c (the reference "
+        "updates unconditionally; gating stops occluded tracks drifting "
+        "toward noise boxes — a d>=6 quality candidate)",
+    )
+    ap.add_argument(
         "--crop-slots", type=int, default=0,
         help="live slots cropped per crop frame, oldest first (0 = all); "
         "the crop step's cost scales with this pool and at d>=6 crop "
@@ -257,7 +263,7 @@ def main(argv=None):
         skip_step=args.skip_step, cd_max=args.cd_max, crop_slots=args.crop_slots,
         **({} if args.w_conf is None else {"w_conf": args.w_conf}),
         estimate_ts_bias=False, merge_dist_ft=12.0, approx_topk=args.approx_topk,
-        size_nudge=args.size_nudge,
+        size_nudge=args.size_nudge, crop_conf_gate=args.crop_conf_gate,
     )
 
     def track_one(scene_seed: int, render_seed: int, tag: str):

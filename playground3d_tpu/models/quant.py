@@ -494,6 +494,7 @@ def quantize_detector(
     stem: str = "conv7",
     tail: bool = True,
     quant_outputs: bool = True,
+    num_anchors: int = 9,
 ) -> Params:
     """Full-detector PTQ entry point: calibrate on representative frames
     (same dtype/layout the pipeline feeds — uint8 s2d is normalized exactly
@@ -523,8 +524,10 @@ def quantize_detector(
         tail_absmax = None
         for im in batches:
             c3, c4, c5 = bb(out["backbone"], im)
-            n_anchors = 9
-            num_classes = params["heads"]["cls_out"]["b"].shape[0] // n_anchors
+            # cls_out emits num_anchors*num_classes channels; the anchor
+            # count must come from the caller (models built with
+            # non-default num_anchors would otherwise mis-infer classes)
+            num_classes = params["heads"]["cls_out"]["b"].shape[0] // num_anchors
             a = calibrate_tail(params, c3, c4, c5, num_classes)
             tail_absmax = a if tail_absmax is None else jnp.maximum(tail_absmax, a)
         qt = quantize_tail(params, tail_absmax, quant_outputs=quant_outputs)

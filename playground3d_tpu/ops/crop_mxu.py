@@ -73,6 +73,13 @@ def _unpack_chw(window: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(n, 3, hc * 4, wc * 4)
 
 
+def max_crop_span_s2d(win_cells: int = 64, n_levels: int = 3) -> float:
+    """Largest box span (px) :func:`crop_and_resize_s2d` can represent at the
+    given window/pyramid config; larger boxes must be clamped by the caller
+    (see the level-selection note in the kernel)."""
+    return float((win_cells * 4 - 8) * 2 ** (n_levels - 1))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("out_size", "win_cells", "n_levels", "layout", "dtype", "normalize"),
@@ -130,6 +137,13 @@ def crop_and_resize_s2d(
     w_px = jnp.asarray([w * 4 for w in wl_list], jnp.float32)
 
     # ---- per-crop level selection ----
+    # NOTE: a box bigger than the coarsest level's window
+    # (cap * 2^(n_levels-1) = 992 px at defaults) cannot be represented:
+    # samples past the window get all-zero bilinear weights and the crop's
+    # far rows/columns silently come out black. Callers must clamp their
+    # box span to ``max_crop_span_s2d()`` BEFORE building the local->global
+    # coordinate mapping (make_crop_step does) — the kernel cannot shrink
+    # boxes itself without desynchronizing that mapping.
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
     span = jnp.maximum(jnp.maximum(x2 - x1, y2 - y1), 1.0)
     level = jnp.clip(

@@ -24,7 +24,7 @@ from playground3d_tpu.evaluation.csv_io import TrackRecord, write_results_csv
 from playground3d_tpu.geometry import transforms as T
 from playground3d_tpu.models.retinanet import Detections, detect_multiframe, localize
 from playground3d_tpu.ops.iou import elementwise_iou, pairwise_iou
-from playground3d_tpu.ops.crop_mxu import crop_and_resize_s2d
+from playground3d_tpu.ops.crop_mxu import crop_and_resize_s2d, max_crop_span_s2d
 from playground3d_tpu.ops.roi_align import crop_and_resize
 from playground3d_tpu.pipeline.camera_bank import (
     CameraBank,
@@ -46,7 +46,13 @@ from playground3d_tpu.pipeline.tracker_state import (
 )
 from playground3d_tpu.track.kf import KFParams, default_params, kf_predict, kf_update, kf_view
 from playground3d_tpu.utils.config import TrackerConfig, camera_centers, tracking_x_range
-from playground3d_tpu.utils.constants import CLASS_HEIGHTS, CLASS_NAMES, NUM_CLASSES
+from playground3d_tpu.utils.constants import (
+    CLASS_HEIGHTS,
+    CLASS_NAMES,
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    NUM_CLASSES,
+)
 from playground3d_tpu.utils.profiling import StageTimers
 
 
@@ -221,6 +227,14 @@ def make_crop_step(
         w = hull[:, 2] - hull[:, 0]
         h = hull[:, 3] - hull[:, 1]
         scale = jnp.maximum(w, h) * cfg.crop_expand
+        if frame_stem == "s2d":
+            # the MXU crop kernel cannot represent boxes beyond the coarsest
+            # pyramid window (992 px at defaults) — samples past it would be
+            # silently black. Clamp BEFORE building crop_boxes so the
+            # local->global mapping below stays consistent with the pixels
+            # actually cropped; a huge near-field vehicle loses a sliver of
+            # context, not crop integrity.
+            scale = jnp.minimum(scale, max_crop_span_s2d())
         cx = (hull[:, 0] + hull[:, 2]) / 2
         cy = (hull[:, 1] + hull[:, 3]) / 2
         crop_boxes = jnp.stack(
@@ -234,7 +248,19 @@ def make_crop_step(
                 normalize=frames.dtype == jnp.uint8,
             )
         else:
-            crops = crop_and_resize(frames, crop_boxes, cam_k, out_size=cs)
+            # uint8 frame transport: the gather crop interpolates to float
+            # 0-255, which normalize_on_device inside the crop net would
+            # pass through untouched (it only rescales uint8 inputs) — so
+            # normalize here, mirroring the s2d branch's normalize= flag
+            was_u8 = frames.dtype == jnp.uint8
+            crops = crop_and_resize(
+                frames.astype(jnp.float32) if was_u8 else frames,
+                crop_boxes, cam_k, out_size=cs,
+            )
+            if was_u8:
+                mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+                std = jnp.asarray(IMAGENET_STD, jnp.float32)
+                crops = (crops / 255.0 - mean) / std
 
         # crop detector (LOCALIZE path)
         reg_boxes, cls = localize(crop_params, crops, depth=depth, stem=stem)
@@ -277,12 +303,17 @@ def make_crop_step(
         best_cls = cand_cls[rowsK, best]
 
         # measurement update with crop measurement model (R2) (MC3D:1235),
-        # scattered back to the full pool
+        # scattered back to the full pool. The reference updates every
+        # attempted track regardless of confidence; crop_conf_gate skips
+        # sub-sigma_c measurements so occluded tracks coast on the filter
+        # prediction instead of being dragged toward noise boxes.
         meas = jnp.zeros((N, 5), jnp.float32).at[sel].set(
             best_state[:, :5].astype(jnp.float32)
         )
         upd = jnp.zeros((N,), bool).at[sel].set(live_k)
-        kf2 = kf_update(kf1, meas, upd, kfp, measurement_idx=2)
+        good = jnp.zeros((N,), bool).at[sel].set(live_k & (best_conf >= cfg.sigma_c))
+        kf_upd = (upd & good) if cfg.crop_conf_gate else upd
+        kf2 = kf_update(kf1, meas, kf_upd, kfp, measurement_idx=2)
 
         if cfg.size_nudge:
             # class-size nudge (KF measurement model 3): measure each live
@@ -296,7 +327,6 @@ def make_crop_step(
             kf2 = kf_update(kf2, z_size, upd, kfp, measurement_idx=3)
 
         # fsld/class bookkeeping (MC3D:1240-1252) — only attempted slots
-        good = jnp.zeros((N,), bool).at[sel].set(live_k & (best_conf >= cfg.sigma_c))
         attempted = upd
         fsld = jnp.where(good, 0, state.fsld + (attempted & ~good).astype(jnp.int32))
         votes = state.cls_votes.at[sel].add(
@@ -632,6 +662,11 @@ class MultiCameraTracker:
         from playground3d_tpu.models.resnet import space_to_depth
 
         self._pack = jax.jit(space_to_depth)
+        # passthrough snapshot for per-frame process() on non-cadence frames
+        # (clip-path b_skip equivalent)
+        self._snapshot_step = jax.jit(
+            lambda st, t: snapshot(st, t, self.kfp, self.cfg)
+        )
 
         self.state = init_track_state(cfg.max_tracks)
         self.ts_bias = jnp.zeros((len(self.cameras),), jnp.float32)
@@ -670,7 +705,11 @@ class MultiCameraTracker:
                 )
                 jax.block_until_ready(snap.states7)
         else:
-            return None
+            # passthrough: record a rolled-forward snapshot so the per-frame
+            # driver emits one output row per frame, exactly like the clip
+            # scan's b_skip branch — records()/CSV agree between the paths
+            snap = self._snapshot_step(self.state, jnp.mean(cam_times))
+            jax.block_until_ready(snap.states7)
 
         with self.timers("drain"):
             ids = np.asarray(snap.ids)
@@ -779,6 +818,15 @@ class MultiCameraTracker:
         import queue as _queue
         import threading
 
+        if yuv_hw is not None and self.stem != "s2d":
+            # yuv420_flat_to_s2d produces s2d-packed frames; a conv7-stem
+            # tracker would otherwise die deep inside the detector on a
+            # 48-vs-3 channel mismatch, far from the misconfiguration
+            raise ValueError(
+                "track_clips(yuv_hw=...) requires stem='s2d' (on-device YUV "
+                f"conversion emits s2d-packed frames); this tracker has "
+                f"stem={self.stem!r}"
+            )
         clip = self._clip_fn(mesh)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

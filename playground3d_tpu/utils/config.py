@@ -54,6 +54,13 @@ class TrackerConfig:
     # reference tweak_sizes minimal_3D_track.py:626-640): counters size
     # drift over long crop-only stretches (large det_step)
     size_nudge: bool = False
+    # extension beyond the reference: skip the crop-branch KF update for
+    # tracks whose best candidate confidence is below sigma_c. The
+    # reference updates the filter unconditionally (MC3D:1235) and only
+    # gates fsld, so an occluded track is dragged toward noise boxes for
+    # f_lost frames before deletion; gating stops that drift. Off by
+    # default (reference parity) — a cadence-gate A/B candidate for d>=6.
+    crop_conf_gate: bool = False
 
     # capacities (fixed shapes on device)
     max_tracks: int = 128

@@ -734,6 +734,115 @@ def test_crop_step_size_nudge_pulls_to_class_mean(toy_cameras3):
     np.testing.assert_array_equal(x_plain[2:], x_nudge[2:])
 
 
+def test_crop_conf_gate_blocks_subthreshold_updates(toy_cameras3):
+    """cfg.crop_conf_gate: with an untrained crop net (focal-prior init,
+    confidences ~0.01 << sigma_c) the gated program must leave live tracks
+    coasting on the filter prediction (dt=0 here, so x unchanged), while the
+    reference-parity default drags them toward the noise boxes."""
+    from playground3d_tpu.models import retinanet_init
+    from playground3d_tpu.pipeline.camera_bank import bank_from_registry
+    from playground3d_tpu.pipeline.multi_cam import make_crop_step
+    from playground3d_tpu.pipeline.tracker_state import init_track_state
+    from playground3d_tpu.track.kf import default_params
+
+    reg = toy_cameras3["registry"]
+    kfp = default_params()
+    bank = bank_from_registry(reg)
+    centers = jnp.asarray(toy_cameras3["centers"])
+    crop_params = retinanet_init(jax.random.PRNGKey(1), depth=18, stem="s2d")
+
+    x0 = np.zeros((8, 6), np.float32)
+    x0[:2, 0] = [500.0, 540.0]
+    x0[:2, 1] = 60.0
+    x0[:2, 2:5] = [18.0, 7.0, 6.0]
+
+    def run(gate):
+        cfg = TrackerConfig(
+            max_tracks=8, x_range=(320.0, 880.0), cd_max=4, cs=32,
+            crop_conf_gate=gate,
+        )
+        step = make_crop_step(
+            crop_params, 18, bank, centers, kfp, cfg, stem="s2d", frame_stem="s2d"
+        )
+        state = init_track_state(cfg.max_tracks)
+        mask = np.zeros(8, bool)
+        mask[:2] = True
+        P = np.tile(np.eye(6, dtype=np.float32)[None] * 5.0, (8, 1, 1))
+        state = state._replace(
+            kf=state.kf._replace(
+                x=jnp.asarray(x0), P=jnp.asarray(P), mask=jnp.asarray(mask),
+                d=jnp.asarray(np.ones(8, np.float32)),
+            ),
+            ids=jnp.asarray(np.arange(8, dtype=np.int32)),
+        )
+        frames = jnp.asarray(np.zeros((3, 16, 24, 48), np.float32))
+        state2, _ = step(
+            state, frames, jnp.zeros((3,), jnp.float32), jnp.zeros((3,), jnp.float32)
+        )
+        return np.asarray(state2.kf.x), np.asarray(state2.fsld)
+
+    x_gated, fsld_gated = run(True)
+    x_ref, fsld_ref = run(False)
+    # gated: sub-threshold measurement skipped -> pure dt=0 predict = x0
+    np.testing.assert_allclose(x_gated[:2, :5], x0[:2, :5], atol=1e-5)
+    # reference parity: the noise measurement moves the state
+    assert np.abs(x_ref[:2, :5] - x0[:2, :5]).max() > 1e-3
+    # fsld bookkeeping identical in both programs (conf-gated in reference too)
+    np.testing.assert_array_equal(fsld_gated, fsld_ref)
+    assert fsld_gated[:2].min() >= 1
+
+
+def test_crop_step_conv7_uint8_frames_normalized(toy_cameras3):
+    """conv7 frame path with uint8 transport: the gather crop interpolates
+    to float 0-255, so the crop step must ImageNet-normalize before the
+    crop net (bilinear commutes with the affine normalization, so results
+    must match feeding pre-normalized float frames)."""
+    from playground3d_tpu.models import retinanet_init
+    from playground3d_tpu.pipeline.camera_bank import bank_from_registry
+    from playground3d_tpu.pipeline.multi_cam import make_crop_step
+    from playground3d_tpu.pipeline.tracker_state import init_track_state
+    from playground3d_tpu.track.kf import default_params
+    from playground3d_tpu.utils.constants import IMAGENET_MEAN, IMAGENET_STD
+
+    reg = toy_cameras3["registry"]
+    kfp = default_params()
+    bank = bank_from_registry(reg)
+    centers = jnp.asarray(toy_cameras3["centers"])
+    crop_params = retinanet_init(jax.random.PRNGKey(2), depth=18, stem="conv7")
+    cfg = TrackerConfig(max_tracks=8, x_range=(320.0, 880.0), cd_max=4, cs=32)
+    step = make_crop_step(
+        crop_params, 18, bank, centers, kfp, cfg, stem="conv7", frame_stem="conv7"
+    )
+
+    state = init_track_state(cfg.max_tracks)
+    x0 = np.zeros((8, 6), np.float32)
+    x0[:2, 0] = [500.0, 540.0]
+    x0[:2, 1] = 60.0
+    x0[:2, 2:5] = [18.0, 7.0, 6.0]
+    mask = np.zeros(8, bool)
+    mask[:2] = True
+    P = np.tile(np.eye(6, dtype=np.float32)[None] * 5.0, (8, 1, 1))
+    state = state._replace(
+        kf=state.kf._replace(
+            x=jnp.asarray(x0), P=jnp.asarray(P), mask=jnp.asarray(mask),
+            d=jnp.asarray(np.ones(8, np.float32)),
+        ),
+        ids=jnp.asarray(np.arange(8, dtype=np.int32)),
+    )
+
+    rng = np.random.default_rng(4)
+    u8 = rng.integers(0, 256, (3, 64, 96, 3), dtype=np.uint8)
+    f32 = (u8.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    t = jnp.zeros((3,), jnp.float32)
+    s_u8, _ = step(state, jnp.asarray(u8), t, t)
+    s_f32, _ = step(state, jnp.asarray(f32), t, t)
+    np.testing.assert_allclose(
+        np.asarray(s_u8.kf.x)[:2], np.asarray(s_f32.kf.x)[:2], rtol=1e-3, atol=1e-3
+    )
+    # and the update actually moved the state (crops were not garbage-scaled)
+    assert np.isfinite(np.asarray(s_u8.kf.x)[:2]).all()
+
+
 def test_track_clips_propagates_source_errors(toy_cameras3):
     """A source iterator that dies mid-stream must surface its exception from
     track_clips, not silently truncate the output (the producer runs on a
