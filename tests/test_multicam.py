@@ -520,6 +520,52 @@ def test_track_clips_driver_matches_per_frame(toy_cameras3):
         np.testing.assert_allclose(r2[3], r3[3], rtol=1e-5, atol=1e-5)
 
 
+def test_per_frame_passthrough_rows_match_clip(toy_cameras3):
+    """At det_step>1 with no crop net, non-cadence frames are passthrough on
+    BOTH drivers: per-frame process() must emit the same rolled-forward
+    snapshot rows as the clip scan's b_skip branch (it used to skip them,
+    so records()/CSV silently disagreed between the two paths)."""
+    import jax
+    from playground3d_tpu.models import retinanet_init
+
+    reg = toy_cameras3["registry"]
+    cameras = list(toy_cameras3["ranges"].keys())
+    cfg = TrackerConfig(
+        max_tracks=16, max_dets=16, pre_topk=128, x_range=(320.0, 880.0),
+        f_init=1, det_step=3, skip_step=1, estimate_ts_bias=False,
+    )
+    det_params = retinanet_init(jax.random.PRNGKey(0), depth=18, stem="s2d")
+
+    def mk_tracker():
+        return MultiCameraTracker(
+            reg, cameras, cfg=cfg, det_params=det_params, depth=18,
+            centers=toy_cameras3["centers"], stem="s2d",
+        )
+
+    n_frames = 6
+    rng = np.random.default_rng(10)
+    frames_all = rng.uniform(-1, 1, (n_frames, 3, 64, 96, 3)).astype(np.float32)
+
+    def sources():
+        out = []
+        for ci in range(3):
+            def gen(ci=ci):
+                for f in range(n_frames):
+                    yield frames_all[f, ci], 1.6e9 + f / 30.0
+            out.append(gen())
+        return out
+
+    t1 = mk_tracker()
+    t1.track(sources(), per_frame=True)
+    t2 = mk_tracker()
+    t2.track_clips(sources(), clip_len=3)
+    assert len(t1.rows) == len(t2.rows) == n_frames
+    for r1, r2 in zip(t1.rows, t2.rows):
+        assert r1[0] == r2[0]
+        np.testing.assert_array_equal(r1[2], r2[2])
+        np.testing.assert_allclose(r1[3], r2[3], rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("emit", ["s2d_u8", "yuv420"])
 def test_session_mode_cli_end_to_end(tmp_path, toy_cameras3, emit):
     """Production flow: session directory of y4m recordings -> discovery ->
