@@ -16,13 +16,120 @@ on-device throughput.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}; baseline is
 the driver's 500 frames/sec/chip north star (BASELINE.json).
+
+Tunnel-proofing: the axon TPU is reached through a network tunnel that can
+drop for hours, and jax initialization HANGS (never fails) while it is down.
+Round 3 lost its headline capture to exactly this (BENCH_r03 rc=1).  The
+__main__ path therefore (1) probes the device in a subprocess under a hard
+timeout until it answers a real jitted matmul (bounded by
+BENCH_TPU_WAIT_SECS), (2) runs the measurement itself in a watchdogged
+subprocess (BENCH_RUN_TIMEOUT) so a mid-run tunnel drop cannot hang the
+driver, and (3) on exhaustion emits a parseable JSON failure record on
+stdout and exits 0 instead of stack-tracing.  With the tunnel up the output
+is byte-identical to the direct run.
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+METRIC = "detect_track_fps_1080p_resnet50"
+UNIT = "frames/sec/chip"
+BASELINE_FPS = 500.0  # BASELINE.json north star
+
+
+def _tpu_probe(timeout_s: float = 120.0) -> bool:
+    """True iff a non-CPU jax backend answers a jitted matmul in time.
+
+    Must run in a subprocess: a hung in-process jax init is unrecoverable.
+    """
+    code = (
+        "import jax\n"
+        "assert jax.devices()[0].platform != 'cpu'\n"
+        "import jax.numpy as jnp\n"
+        "jax.jit(lambda a: (a@a).sum())(jnp.ones((128,128))).block_until_ready()\n"
+    )
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # the probe must see the real backend
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            env=env,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _fail_record(reason: str) -> None:
+    print(
+        json.dumps(
+            {
+                "metric": METRIC,
+                "value": 0.0,
+                "unit": UNIT,
+                "vs_baseline": 0.0,
+                "error": reason,
+            }
+        )
+    )
+
+
+def _run_guarded() -> None:
+    """Wait (bounded) for the TPU, then run main() in a watchdogged child."""
+    wait_budget = float(os.environ.get("BENCH_TPU_WAIT_SECS", "1800"))
+    run_timeout = float(os.environ.get("BENCH_RUN_TIMEOUT", "1800"))
+    deadline = time.time() + wait_budget
+    attempts = 0
+    while True:
+        if not _tpu_probe(min(120.0, max(10.0, deadline - time.time()))):
+            if time.time() >= deadline:
+                _fail_record(
+                    f"tpu_unreachable: no device answer within {wait_budget:.0f}s "
+                    f"({attempts} measurement attempts)"
+                )
+                return
+            time.sleep(min(60.0, max(1.0, deadline - time.time())))
+            continue
+        # device is up: run the measurement in a child so a mid-run tunnel
+        # drop becomes a retry, not a hang
+        attempts += 1
+        env = dict(os.environ)
+        env["BENCH_INNER"] = "1"
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                timeout=run_timeout,
+                env=env,
+                capture_output=True,
+                text=True,
+            )
+        except subprocess.TimeoutExpired:
+            r = None
+        if r is not None and r.returncode == 0:
+            for line in reversed(r.stdout.strip().splitlines()):
+                try:
+                    rec = json.loads(line)
+                except (json.JSONDecodeError, ValueError):
+                    continue
+                if isinstance(rec, dict) and rec.get("metric") == METRIC:
+                    print(line)
+                    return
+        if r is not None and r.stderr:
+            sys.stderr.write(r.stderr[-4000:])
+        if attempts >= 3 or time.time() >= deadline:
+            _fail_record(
+                f"measurement_failed: {attempts} attempts "
+                + ("timed out" if r is None else f"last rc={r.returncode}")
+            )
+            return
 
 
 def main() -> None:
@@ -205,18 +312,20 @@ def main() -> None:
 
     per_clip = (tN - t1) / (N_ITERS - 1)
     fps = T_CLIP / per_clip
-    baseline = 500.0  # BASELINE.json north star, frames/sec/chip
     print(
         json.dumps(
             {
-                "metric": "detect_track_fps_1080p_resnet50",
+                "metric": METRIC,
                 "value": round(fps, 2),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / baseline, 4),
+                "unit": UNIT,
+                "vs_baseline": round(fps / BASELINE_FPS, 4),
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_INNER") == "1":
+        main()
+    else:
+        _run_guarded()
