@@ -550,11 +550,11 @@ extern "C" void fp_plane_half(const uint8_t* in, uint8_t* out, int h, int w,
 extern "C" void fp_yuv420_half_to_s2d_u8(const uint8_t* Y, const uint8_t* U,
                                          const uint8_t* V, uint8_t* out,
                                          int h, int w, int n_threads) {
-  const int w1 = w / 2;    // downsampled luma width
-  const int cw = w / 2;    // source chroma width
-  const int cw1 = w1 / 2;  // downsampled chroma width
+  const int w1 = w / 2;          // downsampled luma width
+  const int cw = (w + 1) / 2;    // source chroma width (4:2:0 rows are ceil(w/2))
+  const int cw1 = w1 / 2;        // downsampled chroma width
   const int oh = (h / 2) / 4, ow = w1 / 4;
-  const int ch = h / 2;  // source chroma rows
+  const int ch = (h + 1) / 2;  // source chroma rows (ceil, like the width)
   run_rows(oh, n_threads, [&](int y0, int y1) {
     std::vector<uint8_t> yrow((size_t)w1 + 64), urow((size_t)cw1 + 64),
         vrow((size_t)cw1 + 64), buf((size_t)w1 * 3);

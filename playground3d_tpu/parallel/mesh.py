@@ -74,7 +74,10 @@ def spatial_sharding(mesh: Mesh, shape, axis: str = DATA_AXIS) -> NamedSharding:
     a lever DataParallel fundamentally lacks (train_detector_3D_angle.py:
     316-318 only scales batch).
     """
-    n = mesh.devices.size
+    # divisibility must be tested against the SIZE OF THE NAMED AXIS, not the
+    # whole mesh: on a multi-axis mesh the device count can exceed the axis
+    # size, which would either pick an invalid spec or needlessly replicate
+    n = mesh.shape[axis]
     if len(shape) >= 3 and shape[2] % n == 0:
         return NamedSharding(mesh, P(None, None, axis))
     if len(shape) >= 2 and shape[1] % n == 0:

@@ -324,7 +324,10 @@ def make_crop_step(
             # tweak_sizes (minimal_3D_track.py:626-640, kf.py:350-361).
             voted = jnp.argmax(state.cls_votes, axis=1)
             z_size = kfp.class_size[voted]  # [N,3]
-            kf2 = kf_update(kf2, z_size, upd, kfp, measurement_idx=3)
+            # under crop_conf_gate a sub-sigma_c frame coasts on the
+            # prediction — the size nudge must coast too, or sizes get
+            # pulled toward the class mean while position does not
+            kf2 = kf_update(kf2, z_size, kf_upd, kfp, measurement_idx=3)
 
         # fsld/class bookkeeping (MC3D:1240-1252) — only attempted slots
         attempted = upd

@@ -838,6 +838,59 @@ def test_crop_conf_gate_blocks_subthreshold_updates(toy_cameras3):
     assert fsld_gated[:2].min() >= 1
 
 
+def test_crop_conf_gate_also_gates_size_nudge(toy_cameras3):
+    """With crop_conf_gate AND size_nudge enabled, a sub-sigma_c frame must
+    coast the WHOLE state — the class-size nudge (measurement model 3) uses
+    the same gated mask as the position update, so sizes are not pulled
+    toward the class mean while the position coasts."""
+    from playground3d_tpu.models import retinanet_init
+    from playground3d_tpu.pipeline.camera_bank import bank_from_registry
+    from playground3d_tpu.pipeline.multi_cam import make_crop_step
+    from playground3d_tpu.pipeline.tracker_state import init_track_state
+    from playground3d_tpu.track.kf import default_params
+    from playground3d_tpu.utils.constants import CLASS_DIMS
+
+    reg = toy_cameras3["registry"]
+    kfp = default_params()
+    bank = bank_from_registry(reg)
+    centers = jnp.asarray(toy_cameras3["centers"])
+    # untrained crop net: confidences sit at the focal prior (~0.01 << sigma_c)
+    crop_params = retinanet_init(jax.random.PRNGKey(1), depth=18, stem="s2d")
+
+    cfg = TrackerConfig(
+        max_tracks=8, x_range=(320.0, 880.0), cd_max=4, cs=32,
+        size_nudge=True, crop_conf_gate=True,
+    )
+    step = make_crop_step(
+        crop_params, 18, bank, centers, kfp, cfg, stem="s2d", frame_stem="s2d"
+    )
+    state = init_track_state(cfg.max_tracks)
+    x0 = np.zeros((8, 6), np.float32)
+    x0[:2, 0] = [500.0, 540.0]
+    x0[:2, 1] = 60.0
+    x0[:2, 2:5] = [40.0, 12.0, 11.0]  # far from every class mean
+    mask = np.zeros(8, bool)
+    mask[:2] = True
+    P = np.tile(np.eye(6, dtype=np.float32)[None] * 5.0, (8, 1, 1))
+    votes = np.zeros((8, CLASS_DIMS.shape[0]), np.float32)
+    votes[:2, 2] = 3.0
+    state = state._replace(
+        kf=state.kf._replace(
+            x=jnp.asarray(x0), P=jnp.asarray(P), mask=jnp.asarray(mask),
+            d=jnp.asarray(np.ones(8, np.float32)),
+        ),
+        cls_votes=jnp.asarray(votes),
+        ids=jnp.asarray(np.arange(8, dtype=np.int32)),
+    )
+    frames = jnp.asarray(np.zeros((3, 16, 24, 48), np.float32))
+    state2, _ = step(
+        state, frames, jnp.zeros((3,), jnp.float32), jnp.zeros((3,), jnp.float32)
+    )
+    x2 = np.asarray(state2.kf.x)
+    # dt=0 + gated position + gated nudge -> the whole state coasts
+    np.testing.assert_allclose(x2[:2], x0[:2], atol=1e-5)
+
+
 def test_crop_step_conv7_uint8_frames_normalized(toy_cameras3):
     """conv7 frame path with uint8 transport: the gather crop interpolates
     to float 0-255, so the crop step must ImageNet-normalize before the

@@ -119,12 +119,17 @@ def test_yuv420_half_to_s2d_u8_equals_downsampled_planes():
     bit-exact against composing the existing primitives on pre-downsampled
     planes — including non-SIMD-multiple widths (scalar tails)."""
     rng = np.random.default_rng(6)
-    for h, w in [(432, 768), (216, 368), (104, 200)]:
+    # even sizes plus odd luma extents: 4:2:0 chroma planes are
+    # ceil(h/2) x ceil(w/2), so an odd-width source exercises the ceil
+    # chroma row stride (a floor stride misaligns every chroma row and
+    # reads past the last one)
+    for h, w in [(432, 768), (216, 368), (104, 200), (104, 201), (105, 201)]:
+        ch, cw = (h + 1) // 2, (w + 1) // 2
         Y = rng.integers(0, 256, (h, w), dtype=np.uint8)
-        U = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
-        V = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+        U = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
+        V = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
         got = N.yuv420_half_to_s2d_u8(Y, U, V)
-        ref = N.yuv420_to_s2d_u8(_box2(Y), _box2(U), _box2(V))
+        ref = N.yuv420_to_s2d_u8(N.box2_plane(Y), N.box2_plane(U), N.box2_plane(V))
         np.testing.assert_array_equal(got, ref)
 
 

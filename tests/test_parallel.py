@@ -89,3 +89,27 @@ def test_spatial_sharded_forward_matches():
 
     # indivisible spatial dims fall back to replication, never crash
     assert spatial_sharding(mesh, (1, 33, 67, 48)).spec == P()
+
+
+def test_spatial_sharding_multi_axis_mesh():
+    """Divisibility is tested against the NAMED axis size, not the whole
+    mesh: on a 2x4 ('data','model') mesh, a width divisible by 2 but not 8
+    must still shard over 'data' (and sharding over 'model'=4 works too)."""
+    from jax.sharding import Mesh
+
+    from playground3d_tpu.parallel.mesh import spatial_sharding
+
+    devs = np.asarray(jax.devices("cpu")[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "model"))
+    # width 6: divisible by mesh.shape['data']=2, not by devices.size=8
+    assert spatial_sharding(mesh, (1, 34, 6, 48), axis="data").spec == P(
+        None, None, "data"
+    )
+    # width 12 over the 4-wide 'model' axis
+    assert spatial_sharding(mesh, (1, 34, 12, 48), axis="model").spec == P(
+        None, None, "model"
+    )
+    # height fallback: width indivisible by 2, height divisible
+    assert spatial_sharding(mesh, (1, 34, 7, 48), axis="data").spec == P(None, "data")
+    # nothing divides -> replicate
+    assert spatial_sharding(mesh, (1, 33, 7, 48), axis="data").spec == P()
