@@ -61,30 +61,46 @@ def im_to_state_banked(
     bank: CameraBank, points: jnp.ndarray, cam_idx: jnp.ndarray, heights: jnp.ndarray
 ) -> jnp.ndarray:
     """[d,8,2] image corners + [d] camera indices -> [d,6] state with per-
-    object EB/WB selection: project through EB; where the projected space y
-    of corner 0 exceeds 60 ft use the WB projection instead
-    (reference homography.py:840-847)."""
+    object EB/WB selection: where the EB-projected space y of corner 0
+    exceeds 60 ft use the WB homography instead (reference
+    homography.py:840-847). The dispatch needs only corner 0's EB
+    projection, so the selected matrix is gathered and the 8 corners are
+    projected ONCE (vs projecting through both banks and masking)."""
     H_eb = bank.H[cam_idx, 0]
-    H_wb = bank.H[cam_idx, 1]
-    space_eb = T.im_to_space(points, H_eb, heights)
-    space_wb = T.im_to_space(points, H_wb, heights)
-    use_wb = space_eb[:, 0, 1] > EB_WB_Y_SPLIT_FT
-    space = jnp.where(use_wb[:, None, None], space_wb, space_eb)
-    return T.space_to_state(space)
+    y0 = T._apply_h(points[:, 0:1, :], H_eb)[:, 0, 1]
+    use_wb = (y0 > EB_WB_Y_SPLIT_FT).astype(jnp.int32)
+    H = bank.H[cam_idx, use_wb]
+    return T.space_to_state(T.im_to_space(points, H, heights))
+
+
+def im_to_state_refined(
+    bank: CameraBank, points: jnp.ndarray, cam_idx: jnp.ndarray, heights: jnp.ndarray
+) -> jnp.ndarray:
+    """im_to_state_banked with the reference's two-pass height refinement
+    (minimal_3D_track.py:486-490) folded into ONE projection pass.
+
+    ``im_to_space`` projects all 8 corners through the ground-plane
+    homography regardless of height (the height enters only as the top
+    corners' z), and ``space_to_state``'s height column is exactly that z —
+    so re-running the projection with the refined heights equals the first
+    pass with column 4 swapped. Bitwise-equal to the two-pass form
+    (MC3D_crop_tracker.py:1217-1227) at one projection instead of two."""
+    state = im_to_state_banked(bank, points, cam_idx, heights)
+    refined = refine_heights_banked(bank, state, cam_idx, points, heights)
+    # guard degenerate refinements (zero pixel height)
+    refined = jnp.where(jnp.isfinite(refined) & (refined > 0.5), refined, heights)
+    return state.at[:, 4].set(refined)
 
 
 def state_to_im_banked(
     bank: CameraBank, state: jnp.ndarray, cam_idx: jnp.ndarray
 ) -> jnp.ndarray:
     """[d,s] states + [d] camera indices -> [d,8,2], WB bank where state
-    y > 60 ft (reference homography.py:849-856)."""
-    P_eb = bank.P[cam_idx, 0]
-    P_wb = bank.P[cam_idx, 1]
-    space = T.state_to_space(state)
-    im_eb = T.space_to_im(space, P_eb)
-    im_wb = T.space_to_im(space, P_wb)
-    use_wb = state[:, 1] > EB_WB_Y_SPLIT_FT
-    return jnp.where(use_wb[:, None, None], im_wb, im_eb)
+    y > 60 ft (reference homography.py:849-856); the selected projection
+    matrix is gathered so the corners are projected once."""
+    use_wb = (state[:, 1] > EB_WB_Y_SPLIT_FT).astype(jnp.int32)
+    P = bank.P[cam_idx, use_wb]
+    return T.space_to_im(T.state_to_space(state), P)
 
 
 def refine_heights_banked(

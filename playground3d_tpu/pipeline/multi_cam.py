@@ -29,8 +29,7 @@ from playground3d_tpu.ops.roi_align import crop_and_resize
 from playground3d_tpu.pipeline.camera_bank import (
     CameraBank,
     bank_from_registry,
-    im_to_state_banked,
-    refine_heights_banked,
+    im_to_state_refined,
     state_to_im_banked,
 )
 from playground3d_tpu.pipeline.tracker_state import (
@@ -282,10 +281,7 @@ def make_crop_step(
         flat = corners.reshape(K * cfg.cd_max, 8, 2)
         flat_cam = jnp.repeat(cam_k, cfg.cd_max)
         heights = jnp.asarray(CLASS_HEIGHTS)[cand_cls.reshape(-1)]
-        cand_state = im_to_state_banked(bank, flat, flat_cam, heights)
-        refined = refine_heights_banked(bank, cand_state, flat_cam, flat, heights)
-        refined = jnp.where(jnp.isfinite(refined) & (refined > 0.5), refined, heights)
-        cand_state = im_to_state_banked(bank, flat, flat_cam, refined)
+        cand_state = im_to_state_refined(bank, flat, flat_cam, heights)
         cand_state = cand_state.reshape(K, cfg.cd_max, 6)
 
         # best box per object: (1-W)*IoU(footprint, a-priori) + W*conf

@@ -37,8 +37,7 @@ from playground3d_tpu.ops.iou import pairwise_iou
 from playground3d_tpu.ops.nms import batched_nms, nms
 from playground3d_tpu.pipeline.camera_bank import (
     CameraBank,
-    im_to_state_banked,
-    refine_heights_banked,
+    im_to_state_refined,
 )
 from playground3d_tpu.track.kf import (
     KFParams,
@@ -148,11 +147,9 @@ def parse_detections_pre(
     cam_idx = det.cam_idx[idx1]
 
     heights = jnp.asarray(CLASS_HEIGHTS)[classes]
-    state = im_to_state_banked(bank, corners, cam_idx, heights)
-    refined = refine_heights_banked(bank, state, cam_idx, corners, heights)
-    # guard degenerate refinements (zero pixel height)
-    refined = jnp.where(jnp.isfinite(refined) & (refined > 0.5), refined, heights)
-    state = im_to_state_banked(bank, corners, cam_idx, refined)
+    # two-pass height refine folded into one projection (see
+    # camera_bank.im_to_state_refined — bitwise-equal to the two-pass form)
+    state = im_to_state_refined(bank, corners, cam_idx, heights)
 
     return ParsedDetections(
         state=state,
