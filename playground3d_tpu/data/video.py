@@ -619,13 +619,13 @@ class PrefetchingSource(FrameSource):
 # ---------------------------------------------------------------------------
 
 
-def write_png(path: str, frame: np.ndarray) -> None:
-    """Write [H,W,3] uint8 (or float in [0,1]) as PNG using zlib only."""
+def encode_png(frame: np.ndarray) -> bytes:
+    """Encode [H,W,3] uint8 (or float in [0,1]) as PNG bytes using zlib only."""
     if frame.dtype != np.uint8:
         frame = (np.clip(frame, 0, 1) * 255).astype(np.uint8)
-    h, w = frame.shape[:2]
     if frame.ndim == 2:
         frame = np.repeat(frame[:, :, None], 3, axis=2)
+    h, w = frame.shape[:2]
     raw = b"".join(b"\x00" + frame[y].tobytes() for y in range(h))
 
     def chunk(tag, data):
@@ -633,14 +633,18 @@ def write_png(path: str, frame: np.ndarray) -> None:
         return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    png = (
+    return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
+
+
+def write_png(path: str, frame: np.ndarray) -> None:
+    """Write [H,W,3] uint8 (or float in [0,1]) as PNG using zlib only."""
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(encode_png(frame))
 
 
 def read_png(path: str) -> np.ndarray:
