@@ -102,6 +102,7 @@ def forward_raw(
     compact: bool = False,
     min_level: int = 3,
     score_path: bool = False,
+    constrain=None,
 ) -> Tuple[jnp.ndarray, ...]:
     """NHWC images -> (classification [N,A,K] (sigmoided), regression [N,A,12]).
 
@@ -112,7 +113,13 @@ def forward_raw(
     materialization of the full anchor set (see heads.head_apply).
     ``min_level``: run the heads only on pyramid levels >= this (the
     anchor set must be generated with the same subset; inference knob,
-    training keeps 3)."""
+    training keeps 3).
+    ``constrain``: optional per-tensor sharding-constraint callable applied
+    to each pyramid level before the heads (see
+    parallel.mesh.spatial_constrainer) — under GSPMD spatial partitioning
+    this pins deep levels whose extent no longer divides the mesh axis to
+    an explicit (cheap) replication instead of the partitioner's
+    involuntary full rematerialization inside the head convs."""
     images = normalize_on_device(images)
     from playground3d_tpu.models.quant import (
         is_quantized,
@@ -132,6 +139,8 @@ def forward_raw(
     feats = fpn_apply(params["fpn"], c3, c4, c5, dtype, **fkw)
     if min_level > 3:
         feats = feats[min_level - 3:]
+    if constrain is not None:
+        feats = [constrain(f) for f in feats]
     if compact and heads_q:
         # chained-int8 towers (activations stay int8 between tower convs)
         from playground3d_tpu.models.quant import head_apply_int8_chained

@@ -88,3 +88,45 @@ def spatial_sharding(mesh: Mesh, shape, axis: str = DATA_AXIS) -> NamedSharding:
 def shard_spatial(mesh: Mesh, frames, axis: str = DATA_AXIS):
     """device_put a frame batch with its spatial width (or height) sharded."""
     return jax.device_put(frames, spatial_sharding(mesh, frames.shape, axis))
+
+
+def spatial_constrainer(mesh: Mesh, axis: str = DATA_AXIS):
+    """Per-tensor sharding-constraint callable for the spatially-partitioned
+    forward: keeps a pyramid level sharded while its extent divides the mesh
+    axis and pins it to EXPLICIT replication once it doesn't (deep levels —
+    P6/P7 at 1080p on 8 chips are a few KB).
+
+    Without this, GSPMD propagates the width sharding into head convs whose
+    level width is smaller than the axis and falls back to "involuntary full
+    rematerialization" (replicate-then-repartition on every such op)."""
+
+    def constrain(x):
+        if x.ndim >= 4:
+            return jax.lax.with_sharding_constraint(
+                x, spatial_sharding(mesh, x.shape, axis)
+            )
+        return x
+
+    return constrain
+
+
+def spatial_forward(mesh: Mesh, depth: int, stem: str = "s2d",
+                    axis: str = DATA_AXIS, **fw_kwargs):
+    """Jitted ``(params, frame) -> forward_raw(...)`` with the spatial
+    partitioning contract applied end to end: shard the input with
+    :func:`shard_spatial`, and every pyramid level is constrained via
+    :func:`spatial_constrainer` so the partitioned HLO contains no
+    replicate-then-repartition steps (single-frame latency lever;
+    SURVEY section 2c — nn.DataParallel, train_detector_3D_angle.py:316-318,
+    cannot express this)."""
+    from playground3d_tpu.models.retinanet import forward_raw
+
+    cons = spatial_constrainer(mesh, axis)
+
+    @jax.jit
+    def fwd(params, frame):
+        return forward_raw(
+            params, frame, depth=depth, stem=stem, constrain=cons, **fw_kwargs
+        )
+
+    return fwd

@@ -65,8 +65,17 @@ def test_spatial_sharded_forward_matches():
     """GSPMD spatial partitioning: ONE s2d frame with its width sharded
     across the mesh produces the replicated result exactly (XLA inserts the
     conv halo exchanges). This is the single-frame latency lever that the
-    reference's nn.DataParallel cannot express."""
-    from playground3d_tpu.parallel.mesh import shard_spatial, spatial_sharding
+    reference's nn.DataParallel cannot express.
+
+    Uses :func:`spatial_forward` — the shipped constrained path whose
+    per-pyramid-level sharding constraints keep the partitioned HLO free of
+    GSPMD "involuntary full rematerialization" reshards (deep levels whose
+    extent no longer divides the axis are pinned to explicit replication)."""
+    from playground3d_tpu.parallel.mesh import (
+        shard_spatial,
+        spatial_forward,
+        spatial_sharding,
+    )
 
     mesh = make_mesh(8)
     params = retinanet_init(jax.random.PRNGKey(0), depth=18, stem="s2d")
@@ -79,8 +88,11 @@ def test_spatial_sharded_forward_matches():
     xs = shard_spatial(mesh, x)
     assert len(xs.sharding.device_set) == 8
 
-    fwd = jax.jit(lambda p, im: forward_raw(p, im, depth=18, stem="s2d"))
-    ref = jax.tree_util.tree_leaves(fwd(params, jnp.asarray(x)))
+    ref = jax.jit(lambda p, im: forward_raw(p, im, depth=18, stem="s2d"))(
+        params, jnp.asarray(x)
+    )
+    ref = jax.tree_util.tree_leaves(ref)
+    fwd = spatial_forward(mesh, 18, stem="s2d")
     out = jax.tree_util.tree_leaves(fwd(params, xs))
     for a, b in zip(ref, out):
         np.testing.assert_allclose(
