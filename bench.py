@@ -214,6 +214,13 @@ def main() -> None:
     # the clip (5 of every 6), so 16 vs 32 is a first-order fps lever for
     # scenes with <=16 concurrent tracks per camera.
     CROP_SLOTS = int(os.environ.get("BENCH_CROP_SLOTS", "32"))
+    # pool capacities (fixed device shapes). The fused design's cost is
+    # shape-static — fps does not depend on how many slots are LIVE, only
+    # on these capacities — so reference-scale track counts (18 cameras,
+    # dozens-to-hundreds of objects, MC3D:1489-1509) are benched by
+    # sweeping the pool: scripts/bench_scale.sh.
+    MAX_TRACKS = int(os.environ.get("BENCH_MAX_TRACKS", "64"))
+    MAX_DETS = int(os.environ.get("BENCH_MAX_DETS", "48"))
 
     # synthetic camera registry (geometry constants only)
     rng = np.random.default_rng(7)
@@ -235,7 +242,7 @@ def main() -> None:
     reg.add_camera("p1c1", im, sp, np.array([[1e6, cy], [cx, 1e6], vp_z]))
 
     cfg = TrackerConfig(
-        max_tracks=64, max_dets=48, pre_topk=PRE_TOPK, x_range=(300.0, 800.0),
+        max_tracks=MAX_TRACKS, max_dets=MAX_DETS, pre_topk=PRE_TOPK, x_range=(300.0, 800.0),
         det_step=DET_STEP, skip_step=SKIP_STEP, crop_slots=CROP_SLOTS, cd_max=CD_MAX, cs=112,
         estimate_ts_bias=TS_BIAS, approx_topk=APPROX_TOPK, det_min_level=MIN_LEVEL,
         size_nudge=SIZE_NUDGE, crop_conf_gate=CROP_CONF_GATE,

@@ -165,6 +165,29 @@ def estimate_ts_bias(
 # ---------------------------------------------------------------------------
 
 
+def select_crop_slots(
+    live: jnp.ndarray, fsld: jnp.ndarray, age: jnp.ndarray, K: int
+) -> jnp.ndarray:
+    """Stale-first crop schedule: the K live slots that have gone longest
+    without a detection (fsld), oldest-first on ties.
+
+    The reference crops EVERY object every frame (MC3D_crop_tracker.py:
+    1146-1254); under a fixed crop budget this is the fair schedule — every
+    live slot is attempted at least once per ceil(live/K) frames, so young
+    tracks are never starved by a full pool of elders (age-only priority
+    starves them indefinitely). fsld*1024+age stays within f32's
+    exact-integer range for fsld <= ~16k (f_max death triggers far
+    earlier)."""
+    pri = jnp.where(
+        live,
+        fsld.astype(jnp.float32) * 1024.0
+        + jnp.minimum(age, 1023).astype(jnp.float32),
+        -1.0,
+    )
+    _, sel = jax.lax.top_k(pri, K)
+    return sel.astype(jnp.int32)
+
+
 def make_crop_step(
     crop_params,
     depth: int,
@@ -197,10 +220,7 @@ def make_crop_step(
 
         pre = kf_view(state.kf, jnp.where(live, jnp.mean(cam_times) - state.t_off, 0.0), kfp)
         if K < N:
-            # crop the oldest live slots (stable, id-continuity first)
-            pri = jnp.where(live, state.age.astype(jnp.float32) + 1.0, -1.0)
-            _, sel = jax.lax.top_k(pri, K)
-            sel = sel.astype(jnp.int32)
+            sel = select_crop_slots(live, state.fsld, state.age, K)
         else:
             sel = jnp.arange(N, dtype=jnp.int32)
         live_k = live[sel]
@@ -325,9 +345,13 @@ def make_crop_step(
             # pulled toward the class mean while position does not
             kf2 = kf_update(kf2, z_size, kf_upd, kfp, measurement_idx=3)
 
-        # fsld/class bookkeeping (MC3D:1240-1252) — only attempted slots
-        attempted = upd
-        fsld = jnp.where(good, 0, state.fsld + (attempted & ~good).astype(jnp.int32))
+        # fsld/class bookkeeping (MC3D:1240-1252). Every live slot that did
+        # not land a good measurement this frame accumulates staleness —
+        # including live slots the crop budget skipped (they were not
+        # detected this frame, and the stale-first schedule above needs the
+        # signal to rotate them in; with attempt-only increments a skipped
+        # slot could coast forever below the f_max death rule).
+        fsld = jnp.where(good, 0, state.fsld + (live & ~good).astype(jnp.int32))
         votes = state.cls_votes.at[sel].add(
             jnp.where(live_k[:, None], jax.nn.one_hot(best_cls, NUM_CLASSES), 0.0)
         )
@@ -615,6 +639,7 @@ class MultiCameraTracker:
         crop_stem: str = "conv7",
         ignore_polygons=None,
         image_hw: Tuple[int, int] = (1080, 1920),
+        on_frame: Optional[Callable] = None,
     ):
         self.registry = registry
         self.cameras = list(cameras)
@@ -673,6 +698,10 @@ class MultiCameraTracker:
         self.rows: List[tuple] = []
         self.ts_bias_log: List[np.ndarray] = []
         self.timers = StageTimers(["detect", "crop", "stage", "drain"])
+        # opt-in live observability (reference overlay loop MC3D:733-917):
+        # called (frame_num, frames [C,H,W,3], snap, ts_bias [C]) after each
+        # per-frame step — see tools.visualize.TrackOverlayWriter
+        self.on_frame = on_frame
 
     def process(self, frames: np.ndarray, times: Sequence[float], frame_num: int):
         """frames [C,H,W,3]; times: per-camera absolute times."""
@@ -725,6 +754,8 @@ class MultiCameraTracker:
                 )
             )
             self.ts_bias_log.append(np.asarray(self.ts_bias))
+        if self.on_frame is not None:
+            self.on_frame(frame_num, frames, snap, np.asarray(self.ts_bias))
         return snap
 
     def _synced_frames(self, sources: List[Iterable], cutoff: int, sync_ms: float):

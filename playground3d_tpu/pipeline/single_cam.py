@@ -141,6 +141,7 @@ class SingleCameraTracker:
         depth: int = 50,
         detect_fn: Optional[Callable] = None,
         stem: str = "conv7",
+        on_frame: Optional[Callable] = None,
     ):
         from playground3d_tpu.pipeline.camera_bank import bank_from_registry
 
@@ -167,6 +168,9 @@ class SingleCameraTracker:
         self.epoch: Optional[float] = None
         self.rows: List[tuple] = []  # (frame, t_abs, ids, states7, classes)
         self.timers = StageTimers(["detect+track", "stage", "drain"])
+        # opt-in live observability: called (frame_num, frames [1,H,W,3],
+        # snap, None) after each frame — tools.visualize.TrackOverlayWriter
+        self.on_frame = on_frame
 
     def process_frame(self, frame: np.ndarray, t_abs: float, frame_num: int) -> Snapshot:
         """frame [H,W,3] float32 (normalized); t_abs float64 UNIX seconds."""
@@ -194,6 +198,8 @@ class SingleCameraTracker:
             self.rows.append(
                 (frame_num, float(self.epoch + float(snap.t)), ids[mask], states[mask], classes[mask])
             )
+        if self.on_frame is not None:
+            self.on_frame(frame_num, frame[None], snap, None)
         return snap
 
     def track(self, frames: Iterable[Tuple[np.ndarray, float]], cutoff: int = 10**9):

@@ -86,3 +86,132 @@ def birdseye_plot(
         plt.close(fig)
         return None
     return fig
+
+
+def _depth_to_space(x: np.ndarray, block: int = 4) -> np.ndarray:
+    """Inverse of models.resnet.space_to_depth for one [h,w,C*b*b] frame."""
+    h, w, cbb = x.shape
+    c = cbb // (block * block)
+    x = x.reshape(h, w, block, block, c)
+    x = x.transpose(0, 2, 1, 3, 4)
+    return x.reshape(h * block, w * block, c)
+
+
+class TrackOverlayWriter:
+    """Per-frame tracking observability — the reference's live overlay loop
+    (MC3D_crop_tracker.py:733-917 plots priors, posteriors and per-camera
+    state onto each camera view) rendered headlessly: posterior 3D boxes
+    (green) and constant-velocity-rolled priors from the previous snapshot
+    (blue) per camera, plus a clock-bias tint patch (red = camera ahead,
+    blue = behind), written as PNGs through
+    :class:`playground3d_tpu.data.video.AsyncFrameWriter` (one subdirectory
+    per camera; frames stay in submission order).
+
+    Pass as ``on_frame=`` to :class:`SingleCameraTracker` /
+    :class:`MultiCameraTracker`; call :meth:`close` to flush.
+    """
+
+    def __init__(
+        self,
+        registry,
+        cameras: Sequence[str],
+        out_dir: str,
+        every: int = 1,
+        prior_color=(0.25, 0.45, 1.0),
+        posterior_color=(0.2, 1.0, 0.3),
+    ):
+        import os
+
+        from playground3d_tpu.data.video import AsyncFrameWriter
+
+        self.registry = registry
+        self.cameras = list(cameras)
+        self.rows = [registry.index(c) for c in self.cameras]
+        self.every = max(1, int(every))
+        self.prior_color = prior_color
+        self.posterior_color = posterior_color
+        self.writers = [
+            AsyncFrameWriter(os.path.join(out_dir, c)) for c in self.cameras
+        ]
+        self._prev: Optional[Tuple[float, np.ndarray, np.ndarray]] = None
+        self.frames_written = 0
+
+    @staticmethod
+    def _displayable(frame: np.ndarray) -> np.ndarray:
+        """[H,W,3] of any transport dtype -> float RGB in [0,1]; unpacks
+        s2d-packed [h,w,48] frames."""
+        frame = np.asarray(frame)
+        if frame.shape[-1] == 48:
+            frame = _depth_to_space(frame)
+        frame = frame.astype(np.float32)
+        if frame.max() > 2.0:  # uint8-range transport
+            return frame / 255.0
+        if frame.min() < -0.5:  # ImageNet-normalized transport
+            from playground3d_tpu.utils.constants import IMAGENET_MEAN, IMAGENET_STD
+
+            return np.clip(
+                frame * np.asarray(IMAGENET_STD) + np.asarray(IMAGENET_MEAN), 0, 1
+            )
+        return np.clip(frame, 0, 1)
+
+    def _im_boxes(self, states: np.ndarray, cam_row: int) -> np.ndarray:
+        """[n,7] states -> [n,8,2] image-space boxes through the camera's
+        direction-matched projection bank."""
+        from playground3d_tpu.evaluation import geometry_np as G
+
+        if len(states) == 0:
+            return np.zeros((0, 8, 2), np.float32)
+        space = G.state_to_space(states[:, :6])
+        P_eb = self.registry.P[cam_row, 0]
+        P_wb = self.registry.P[cam_row, 1]
+        im_eb = G.space_to_im(space, P_eb)
+        im_wb = G.space_to_im(space, P_wb)
+        wb = states[:, 5] < 0
+        return np.where(wb[:, None, None], im_wb, im_eb)
+
+    def __call__(self, frame_num: int, frames: np.ndarray, snap, ts_bias=None):
+        if frame_num % self.every:
+            return
+        states = np.asarray(snap.states7)
+        mask = np.asarray(snap.raw_mask)
+        t = float(snap.t)
+        live = states[mask]
+
+        # priors: the previous posterior rolled forward at its own velocity
+        # (what the tracker predicted before this frame's measurements)
+        prior = None
+        if self._prev is not None:
+            tp, sp = self._prev
+            dt = t - tp
+            prior = sp.copy()
+            prior[:, 0] = prior[:, 0] + prior[:, 5] * prior[:, 6] * dt
+        self._prev = (t, live.copy())
+
+        frames = np.asarray(frames)
+        if frames.ndim == 3:
+            frames = frames[None]
+        for ci, (row, writer) in enumerate(zip(self.rows, self.writers)):
+            canvas = self._displayable(frames[ci])
+            if prior is not None and len(prior):
+                canvas = plot_boxes(
+                    canvas, self._im_boxes(prior, row), color=self.prior_color
+                )
+            if len(live):
+                canvas = plot_boxes(
+                    canvas, self._im_boxes(live, row), color=self.posterior_color
+                )
+            if ts_bias is not None:
+                b = float(np.asarray(ts_bias).reshape(-1)[ci])
+                # +-33ms (one frame) full-scale tint patch
+                s = float(np.clip(b / 0.033, -1.0, 1.0))
+                patch = np.array(
+                    [0.5 + 0.5 * max(s, 0.0), 0.15, 0.5 + 0.5 * max(-s, 0.0)],
+                    np.float32,
+                )
+                canvas[:8, :8] = patch
+            writer(canvas)
+        self.frames_written += 1
+
+    def close(self, timeout: float = 60.0) -> None:
+        for w in self.writers:
+            w.close(timeout=timeout)

@@ -1,0 +1,142 @@
+"""Per-class AP for a trained detector checkpoint — the QUALITY.md anchor.
+
+Round-3 VERDICT weak #5: ``evaluation/ap.py`` existed but no committed
+artifact used it, so every fps lever was gated on aggregate MOT numbers
+from weak demo nets. This script evaluates the gate chain's long-trained
+full-frame detector (``_outputs/mc_det.npz``, s2d stem) on a HELD-OUT
+unaugmented synthetic eval set at both bf16 and the shipped int8 (PTQ)
+config, and prints the per-class AP@0.5 markdown table for QUALITY.md —
+mirroring the reference's per-class ``csv_eval.evaluate`` report
+(pytorch_retinanet_detector_directional/retinanet/csv_eval.py:156-243).
+
+Usage:
+    python scripts/eval_ap.py [--ckpt _outputs/mc_det.npz] [--frames 64]
+        [--depth 18] [--height 512] [--width 768] [--zoom 1.5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def collect(detect, params, ds, n_frames, score_floor=0.05):
+    """Run the jitted single-frame detector over n_frames held-out samples;
+    return (detections, ground_truth) in evaluation.ap tuple formats."""
+    dets, gts = [], []
+    t_fwd = 0.0
+    for f in range(n_frames):
+        frame, labels = ds.sample()
+        t0 = time.time()
+        out = detect(params, frame)
+        scores = np.asarray(out.scores)
+        classes = np.asarray(out.classes)
+        boxes = np.asarray(out.boxes)[:, 16:20]
+        mask = np.asarray(out.mask)
+        t_fwd += time.time() - t0
+        for s, c, b, m in zip(scores, classes, boxes, mask):
+            if m and s >= score_floor:
+                dets.append((f, int(c), float(s), b.astype(np.float32)))
+        for row in labels:
+            if row[20] >= 0:
+                gts.append((f, int(row[20]), row[16:20].astype(np.float32)))
+    return dets, gts, t_fwd
+
+
+def ap_table(tag, dets, gts, num_classes, class_names):
+    from playground3d_tpu.evaluation.ap import evaluate_detections, mean_ap
+
+    aps = evaluate_detections(dets, gts, num_classes, iou_threshold=0.5)
+    rows = []
+    for c in range(num_classes):
+        n_gt = sum(1 for g in gts if g[1] == c)
+        v = aps[c]
+        rows.append((class_names[c], n_gt, v))
+    return aps, mean_ap(aps), rows
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ckpt", default="_outputs/mc_det.npz")
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--depth", type=int, default=18)
+    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--width", type=int, default=768)
+    ap.add_argument("--zoom", type=float, default=1.5)
+    ap.add_argument("--seed", type=int, default=1234,
+                    help="held-out eval seed (training uses seed 0/1)")
+    ap.add_argument("--batch-calib", type=int, default=4)
+    ap.add_argument("--skip-int8", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from playground3d_tpu.data.dataset import SyntheticDetectionDataset
+    from playground3d_tpu.models import retinanet_init
+    from playground3d_tpu.models.nn import load_params
+    from playground3d_tpu.models.retinanet import detect_singleframe
+    from playground3d_tpu.utils.constants import CLASS_NAMES, NUM_CLASSES
+
+    shape = (args.height, args.width)
+    params = load_params(
+        args.ckpt, retinanet_init(jax.random.PRNGKey(0), depth=args.depth, stem="s2d")
+    )
+    print(f"loaded {args.ckpt}")
+
+    # held-out eval set: same renderer/camera as training, fresh scene seeds,
+    # NO augmentation (the reference evaluates on un-augmented val CSVs)
+    ds = SyntheticDetectionDataset(
+        image_shape=shape, n_objects=6, seed=args.seed, augment=False,
+        zoom=args.zoom,
+    )
+
+    import functools
+
+    detect = jax.jit(
+        functools.partial(
+            detect_singleframe, depth=args.depth, stem="s2d",
+            pre_topk=1024, max_dets=64,
+        )
+    )
+
+    configs = [("bf16", params)]
+    if not args.skip_int8:
+        from playground3d_tpu.models.quant import quantize_detector
+
+        calib_ds = SyntheticDetectionDataset(
+            image_shape=shape, n_objects=6, seed=0, augment=True, zoom=args.zoom
+        )
+        calib = np.stack([calib_ds.sample()[0] for _ in range(args.batch_calib)])
+        q = quantize_detector(params, calib, args.depth, stem="s2d")
+        configs.append(("int8 (shipped PTQ)", q))
+
+    all_rows = {}
+    for tag, p in configs:
+        dets, gts, t_fwd = collect(detect, p, ds, args.frames)
+        aps, m_ap, rows = ap_table(tag, dets, gts, NUM_CLASSES, CLASS_NAMES)
+        all_rows[tag] = (rows, m_ap)
+        print(f"[{tag}] {len(dets)} dets / {len(gts)} gts over {args.frames} "
+              f"frames, fwd {t_fwd:.1f}s, mAP@0.5 = {m_ap:.3f}")
+
+    # QUALITY.md-ready markdown
+    tags = [t for t, _ in configs]
+    print("\n| class | #gt | " + " | ".join(f"AP@0.5 {t}" for t in tags) + " |")
+    print("|---|---|" + "---|" * len(tags))
+    rows0 = all_rows[tags[0]][0]
+    for ci, (name, n_gt, _) in enumerate(rows0):
+        cells = []
+        for t in tags:
+            v = all_rows[t][0][ci][2]
+            cells.append("n/a" if np.isnan(v) else f"{v:.3f}")
+        print(f"| {name} | {n_gt} | " + " | ".join(cells) + " |")
+    print("| **mAP** | | " + " | ".join(f"**{all_rows[t][1]:.3f}**" for t in tags) + " |")
+
+
+if __name__ == "__main__":
+    main()

@@ -142,6 +142,56 @@ def test_y4m_video_source_decodes_with_timestamps(tmp_path, toy_camera):
         np.testing.assert_allclose(t, t0 + i / 30.0, atol=5e-3)
 
 
+def test_ffmpeg_pipe_backend_with_stub_binary(tmp_path, toy_camera, monkeypatch):
+    """The ffmpeg-pipe backend — the compressed-video ingest path matching
+    the reference's cv2.VideoCapture on .mp4 recordings (mp_loader.py:
+    206-247) — exercised end to end without a codec in the image: a stub
+    `ffmpeg` streams raw RGB24 frames over stdout (exactly what the real
+    binary's `-f rawvideo -pix_fmt rgb24` pipe emits for an H.264 file) and
+    a stub `ffprobe` reports the stream geometry. VideoFrameSource must
+    probe the native size, read frames off the pipe, parse burned-in pixel
+    timestamps at native resolution BEFORE resizing, then resize."""
+    import os
+    import stat
+
+    import playground3d_tpu.data.video as V
+    from playground3d_tpu.data.synthetic import SyntheticScene
+
+    reg = toy_camera["registry"]
+    P = reg.P[0, 0]
+    scene = SyntheticScene(n_objects=4, seed=3)
+    t0 = 1.6e9
+    src = SyntheticVideoSource(
+        scene, P, n_frames=8, t0=t0, height=540, width=960,
+        normalized=False, burn_timestamp=True,
+    )
+    raw = b"".join(
+        (np.clip(f, 0, 1) * 255).astype(np.uint8).tobytes() for f, _ in src
+    )
+    (tmp_path / "frames.raw").write_bytes(raw)
+
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    ffmpeg = bindir / "ffmpeg"
+    ffmpeg.write_text(f"#!/bin/sh\nexec cat '{tmp_path}/frames.raw'\n")
+    ffprobe = bindir / "ffprobe"
+    ffprobe.write_text("#!/bin/sh\necho 960,540\n")
+    for p in (ffmpeg, ffprobe):
+        p.chmod(p.stat().st_mode | stat.S_IXUSR | stat.S_IXGRP | stat.S_IXOTH)
+    monkeypatch.setenv("PATH", str(bindir) + os.pathsep + os.environ["PATH"])
+    # the real probe ran at import (no backend in this image); force the
+    # ffmpeg route the way a codec-bearing host would have selected it
+    monkeypatch.setattr(V, "DECODER", "ffmpeg")
+
+    vsrc = V.VideoFrameSource(str(tmp_path / "clip.mp4"), resize_hw=(270, 480))
+    assert vsrc._backend == "ffmpeg"
+    decoded = list(vsrc)
+    assert len(decoded) == 8
+    for i, (frame, t) in enumerate(decoded):
+        assert frame.shape == (270, 480, 3)
+        np.testing.assert_allclose(t, t0 + i / 30.0, atol=5e-3)
+
+
 def test_planar_ts_parse_without_native_lib(tmp_path, toy_camera, monkeypatch):
     """The planar emit paths must keep parsing burned-in epochs when the
     native strip converter is unavailable (python _rgb_from_planes fallback)

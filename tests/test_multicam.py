@@ -365,8 +365,10 @@ def test_mc_clip_batched_detects_matches_unbatched(toy_cameras3):
 
 
 def test_crop_slots_subset_updates_only_selected(toy_cameras3):
-    """With crop_slots < live tracks, only the oldest live slots get crop
-    measurement updates; others keep their fsld and t_off."""
+    """With crop_slots < live tracks, only the top-priority live slots are
+    attempted (stale-first, oldest on ties), and EVERY live slot without a
+    good measurement accumulates fsld — the staleness signal the schedule
+    rotates on (see test_scale.py for the no-starvation bound)."""
     from playground3d_tpu.models import retinanet_init
     from playground3d_tpu.pipeline.camera_bank import bank_from_registry
     from playground3d_tpu.pipeline.multi_cam import make_crop_step
@@ -408,10 +410,12 @@ def test_crop_slots_subset_updates_only_selected(toy_cameras3):
     bias = jnp.zeros((3,), jnp.float32)
     state2, _ = step(state, frames, times, bias)
     fsld = np.asarray(state2.fsld)
-    # oldest two live slots (ages 9 and 5 -> slots 2 and 0) attempted: fsld+1
-    assert fsld[2] == 1 and fsld[0] == 1
-    # unattempted live slots unchanged
-    assert fsld[1] == 0 and fsld[3] == 0
+    # all fsld tie at 0, so the age tie-break selects slots 2 (age 9) and
+    # 0 (age 5); sigma_c=2.0 means no measurement is "good", so every live
+    # slot (attempted or skipped) accumulates one frame of staleness
+    assert fsld[:4].tolist() == [1, 1, 1, 1]
+    # dead slots never accumulate
+    assert fsld[4:].tolist() == [0, 0, 0, 0]
 
 
 def test_mc_clip_camera_sharded_matches_unsharded(toy_cameras3):
