@@ -1,0 +1,259 @@
+"""Reference-scale regime tests: the reference runs 10-camera eval loops and
+is built for 18 cameras with dozens-to-hundreds of concurrent tracks
+(minimal_3D_track.py:944-1005; camera table MC3D_crop_tracker.py:1489-1509).
+These tests drive the tracker at that regime — 10-camera chain, 128
+concurrent objects, 256-slot pool — asserting id continuity, lifecycle
+sanity, and crop-schedule fairness (no starvation of young tracks under a
+fixed crop budget)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from playground3d_tpu.data.synthetic import SyntheticScene, mc_oracle_detections
+from playground3d_tpu.data.toy_cameras import make_projector, register_toy_camera
+from playground3d_tpu.geometry.homography import CameraRegistry
+from playground3d_tpu.utils.config import TrackerConfig
+
+FPS = 15.0  # coarse clock so objects traverse camera bands within the run
+
+
+@pytest.fixture(scope="module")
+def chain10():
+    """Ten overlapping pole cameras covering a 350-1820 ft roadway chain
+    (the reference's p1c1..p1c6 + p2c1.. deployment shape)."""
+    reg = CameraRegistry()
+    ranges = {}
+    for i in range(10):
+        name = f"p1c{i + 1}"
+        rng_x = (350.0 + 140.0 * i, 560.0 + 140.0 * i)
+        register_toy_camera(
+            reg, name, make_projector(cam_x=rng_x[0] - 30.0), rng_x, seed=7 + i
+        )
+        ranges[name] = rng_x
+    centers = np.array(
+        [[(a + b) / 2.0, 60.0] for a, b in ranges.values()], np.float32
+    )
+    return {"registry": reg, "ranges": ranges, "centers": centers}
+
+
+def test_scale_10cam_128objects_id_continuity_and_lifecycle(chain10):
+    """128 concurrent objects through a 10-camera chain on a 256-slot pool:
+    every isolated object keeps ONE stable id across the run, live ids are
+    unique, states stay finite, and objects that leave the roadway die
+    within f_max frames (lifecycle at reference scale)."""
+    from playground3d_tpu.pipeline.camera_bank import bank_from_registry
+    from playground3d_tpu.pipeline.multi_cam import make_mc_detect_step_from_detections
+    from playground3d_tpu.pipeline.tracker_state import init_track_state
+    from playground3d_tpu.track.kf import default_params
+
+    reg = chain10["registry"]
+    ranges = chain10["ranges"]
+    cameras = list(ranges.keys())
+    scene = SyntheticScene(
+        n_objects=128, seed=3, x_spawn=(360.0, 1760.0), x_visible=(340.0, 1830.0)
+    )
+    # f_max=12: at this density the per-camera image-space NMS
+    # (phi_nms_im=0.3, reference parity MC3D:69 "overlapping objects are
+    # possibly pruned") intermittently suppresses far-field vehicles whose
+    # image hulls overlap an in-view neighbor's — emulated occlusion.  A
+    # deployment at 128 concurrent objects configures the lifecycle to
+    # coast through those streaks (the KF prediction stays accurate; id
+    # continuity below proves re-acquisition), exactly like the
+    # reference's fsld_max knob.
+    cfg = TrackerConfig(
+        max_tracks=256, max_dets=512, x_range=(320.0, 1840.0), f_init=1,
+        f_max=12, estimate_ts_bias=False,
+    )
+    kfp = default_params()
+    bank = bank_from_registry(reg)
+    step = make_mc_detect_step_from_detections(bank, kfp, cfg)
+
+    state = init_track_state(cfg.max_tracks)
+    bias = jnp.zeros((len(cameras),), jnp.float32)
+    det_rng = np.random.default_rng(0)
+    n_steps = 40
+    snaps = []
+    for f in range(n_steps):
+        t = f / FPS
+        det = mc_oracle_detections(
+            scene, [t] * len(cameras), reg, cameras, ranges, cfg.max_dets, det_rng
+        )
+        times = jnp.full((len(cameras),), t, jnp.float32)
+        state, snap, bias = step(state, det, times, bias)
+        snaps.append(
+            (
+                np.asarray(snap.states7),
+                np.asarray(snap.ids),
+                np.asarray(snap.raw_mask),
+            )
+        )
+
+    # --- basic sanity at scale -------------------------------------------
+    states7, ids, mask = snaps[-1]
+    assert np.isfinite(states7[mask]).all()
+    live_ids = ids[mask]
+    assert len(np.unique(live_ids)) == len(live_ids), "duplicate live ids"
+
+    # --- coverage: one track per visible object (merge/NMS may fuse the
+    # handful of randomly-overlapping same-lane spawns) --------------------
+    t_end = (n_steps - 1) / FPS
+    gt_states, gt_idx = scene.states_at(t_end)
+    n_vis = len(gt_idx)
+    n_live = int(mask.sum())
+    assert n_live >= int(0.8 * n_vis), (n_live, n_vis)
+    # slack: recently-exited objects coast up to f_max frames before death
+    assert n_live <= n_vis + 16, (n_live, n_vis)
+
+    # --- id continuity on isolated objects -------------------------------
+    # an object is "isolated" if no SAME-LANE neighbor sits within 30 ft
+    # along the roadway (footprints are lane-separated in y, so merge /
+    # association ambiguity is an in-lane phenomenon; closer pairs can
+    # legitimately be merged or swapped)
+    def matches(snap_i):
+        states7, ids, mask = snaps[snap_i]
+        t = snap_i / FPS
+        gts, gidx = scene.states_at(t)
+        out = {}
+        live = states7[mask]
+        lids = ids[mask]
+        if len(live) == 0:
+            return out
+        for g, oi in zip(gts, gidx):
+            crowded = any(
+                abs(g[1] - h[1]) < 6.0 and abs(g[0] - h[0]) < 30.0
+                for h, oj in zip(gts, gidx) if oj != oi
+            )
+            if crowded:
+                continue
+            d = np.hypot(live[:, 0] - g[0], live[:, 1] - g[1])
+            j = int(np.argmin(d))
+            if d[j] < 10.0:
+                out[int(oi)] = int(lids[j])
+        return out
+
+    m_early, m_late = matches(8), matches(n_steps - 1)
+    common = sorted(set(m_early) & set(m_late))
+    assert len(common) >= 40, f"too few isolated tracked objects: {len(common)}"
+    flips = [oi for oi in common if m_early[oi] != m_late[oi]]
+    # <=2 residual flips allowed: image-space NMS (phi_nms_im, emulated
+    # occlusion) can suppress a far-field vehicle's detection for longer
+    # than even f_max=12 consecutive frames, and a detection gap beyond
+    # f_max legitimately fragments the track — the reference's fsld_max
+    # lifecycle behaves identically (MC3D:436-480). Diagnosed, not a
+    # tracker defect: the KF prediction stays on the object throughout
+    # (scripts/diag_scale_flips.py).
+    assert len(flips) <= 2, f"id flips on isolated objects: {flips[:10]}"
+
+    # --- death: objects that left the roadway early have no live track ---
+    gone_by = (n_steps - 1 - (cfg.f_max + 4)) / FPS
+    exited = [
+        oi for oi in m_early
+        if oi not in set(scene.states_at(gone_by)[1])
+        and oi not in set(gt_idx)
+    ]
+    stale_live = [oi for oi in exited if m_early[oi] in set(live_ids.tolist())]
+    assert not stale_live, f"tracks outlived exited objects: {stale_live}"
+
+
+def test_crop_schedule_no_starvation():
+    """The stale-first crop schedule's fairness bound: with N live slots and
+    a K-slot budget, every live slot is attempted at least once per
+    ceil(N/K) frames — including a track born mid-run into a full pool of
+    elders (the starvation case an age-priority schedule fails)."""
+    from playground3d_tpu.pipeline.multi_cam import select_crop_slots
+
+    N, K = 64, 8
+    n_live = 32
+    live = np.zeros((N,), bool)
+    live[:n_live] = True
+    age = np.arange(1000, 1000 - N, -1, np.int32)  # a full pool of elders
+    fsld = np.zeros((N,), np.int32)
+    bound = -(-n_live // K)  # ceil
+
+    sel_fn = jax.jit(lambda l, f, a: select_crop_slots(l, f, a, K))
+    last_attempt = np.full((N,), -1, np.int32)
+    first_attempt = np.full((N,), -1, np.int32)
+    born_at = 7
+    for t in range(24):
+        if t == born_at:  # young track joins the full pool (age 0)
+            live[n_live] = True
+            age[n_live] = 0
+            # birth IS a detection (the detect step creates tracks with
+            # fsld=0), so the staleness clock starts at the birth frame
+            last_attempt[n_live] = t
+        sel = np.asarray(sel_fn(jnp.asarray(live), jnp.asarray(fsld), jnp.asarray(age)))
+        attempted = np.zeros((N,), bool)
+        attempted[sel] = True
+        attempted &= live
+        last_attempt[attempted] = t
+        first_attempt[attempted & (first_attempt < 0)] = t
+        # the crop-step fsld dynamics with good measurements: attempted
+        # slots reset, every other live slot accumulates staleness
+        fsld = np.where(attempted, 0, fsld + live.astype(np.int32))
+        age = age + live.astype(np.int32)
+        if t >= bound:
+            lag = t - last_attempt[live]
+            assert lag.max() < bound + 1, (t, lag.max())
+
+    # the mid-run birth got its FIRST crop attempt within the bound (a
+    # possible +1 for losing one age tie-break), not starved
+    assert 0 <= first_attempt[n_live] <= born_at + bound + 1
+
+
+def test_crop_step_pool256_attempts_only_budget(chain10):
+    """Integration at the 256-slot pool: one crop step over the 10-camera
+    chain with 128 live tracks and a 32-slot budget attempts exactly the
+    budget and leaves the rest accumulating staleness."""
+    from playground3d_tpu.models import retinanet_init
+    from playground3d_tpu.pipeline.camera_bank import bank_from_registry
+    from playground3d_tpu.pipeline.multi_cam import make_crop_step
+    from playground3d_tpu.pipeline.tracker_state import init_track_state
+    from playground3d_tpu.track.kf import default_params
+
+    reg = chain10["registry"]
+    C = 10
+    cfg = TrackerConfig(
+        max_tracks=256, x_range=(320.0, 1840.0), cd_max=4, cs=32, crop_slots=32,
+        sigma_c=2.0,  # nothing is "good": every live slot must accumulate
+    )
+    kfp = default_params()
+    bank = bank_from_registry(reg)
+    centers = jnp.asarray(chain10["centers"])
+    crop_params = retinanet_init(jax.random.PRNGKey(1), depth=18, stem="s2d")
+    step = make_crop_step(
+        crop_params, 18, bank, centers, kfp, cfg, stem="s2d", frame_stem="s2d"
+    )
+
+    state = init_track_state(cfg.max_tracks)
+    n_live = 128
+    rng = np.random.default_rng(5)
+    x = np.zeros((256, 6), np.float32)
+    x[:n_live, 0] = rng.uniform(360.0, 1800.0, n_live)
+    x[:n_live, 1] = rng.choice([18.0, 30.0, 42.0, 66.0, 78.0], n_live)
+    x[:n_live, 2:5] = [18, 6, 5]
+    mask = np.zeros(256, bool)
+    mask[:n_live] = True
+    fsld0 = np.zeros((256,), np.int32)
+    fsld0[:n_live] = rng.integers(0, 4, n_live)  # distinct staleness
+    state = state._replace(
+        kf=state.kf._replace(
+            x=jnp.asarray(x), mask=jnp.asarray(mask),
+            d=jnp.asarray(np.ones(256, np.float32)),
+        ),
+        fsld=jnp.asarray(fsld0),
+        age=jnp.asarray(mask.astype(np.int32) * 3),
+        ids=jnp.asarray(np.arange(256, dtype=np.int32)),
+    )
+    frames = jnp.asarray(np.zeros((C, 16, 24, 48), np.float32))
+    times = jnp.zeros((C,), jnp.float32)
+    bias = jnp.zeros((C,), jnp.float32)
+    state2, _ = step(state, frames, times, bias)
+    fsld = np.asarray(state2.fsld)
+    # every live slot accumulated exactly one frame of staleness (none were
+    # "good" at sigma_c=2.0), dead slots none — and the step ran the full
+    # 256-slot pool through selection + crop + localize without blowup
+    assert (fsld[:n_live] == fsld0[:n_live] + 1).all()
+    assert (fsld[n_live:] == 0).all()
+    assert np.isfinite(np.asarray(state2.kf.x)[:n_live]).all()
