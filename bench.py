@@ -221,6 +221,9 @@ def main() -> None:
     # sweeping the pool: scripts/bench_scale.sh.
     MAX_TRACKS = int(os.environ.get("BENCH_MAX_TRACKS", "64"))
     MAX_DETS = int(os.environ.get("BENCH_MAX_DETS", "48"))
+    # ghost re-identification window (0 = off/reference). Adds one [N,K]
+    # distance matrix per detect frame — measured for the ship decision.
+    GHOST_FRAMES = int(os.environ.get("BENCH_GHOST_FRAMES", "0"))
 
     # synthetic camera registry (geometry constants only)
     rng = np.random.default_rng(7)
@@ -246,6 +249,7 @@ def main() -> None:
         det_step=DET_STEP, skip_step=SKIP_STEP, crop_slots=CROP_SLOTS, cd_max=CD_MAX, cs=112,
         estimate_ts_bias=TS_BIAS, approx_topk=APPROX_TOPK, det_min_level=MIN_LEVEL,
         size_nudge=SIZE_NUDGE, crop_conf_gate=CROP_CONF_GATE,
+        ghost_frames=GHOST_FRAMES,
     )
     kfp = default_params()
     bank = bank_from_registry(reg)

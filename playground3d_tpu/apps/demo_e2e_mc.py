@@ -116,6 +116,12 @@ def main(argv=None):
         help="class-size KF nudge in the crop branch (measurement model 3)",
     )
     ap.add_argument(
+        "--ghost-frames", type=int, default=0,
+        help="ghost re-identification window (frames past f_max a dead "
+        "track's id can be reclaimed by a reappearing detection; 0 = "
+        "reference behavior)",
+    )
+    ap.add_argument(
         "--crop-conf-gate", action="store_true",
         help="skip crop-branch KF updates below sigma_c (the reference "
         "updates unconditionally; gating stops occluded tracks drifting "
@@ -264,6 +270,7 @@ def main(argv=None):
         **({} if args.w_conf is None else {"w_conf": args.w_conf}),
         estimate_ts_bias=False, merge_dist_ft=12.0, approx_topk=args.approx_topk,
         size_nudge=args.size_nudge, crop_conf_gate=args.crop_conf_gate,
+        ghost_frames=args.ghost_frames,
     )
 
     def track_one(scene_seed: int, render_seed: int, tag: str):

@@ -351,7 +351,12 @@ def make_crop_step(
         # detected this frame, and the stale-first schedule above needs the
         # signal to rotate them in; with attempt-only increments a skipped
         # slot could coast forever below the f_max death rule).
-        fsld = jnp.where(good, 0, state.fsld + (live & ~good).astype(jnp.int32))
+        fsld_grow = live
+        if cfg.ghost_frames > 0:
+            # ghost slots (dead, id retained for re-id) count crop frames
+            # too, so the re-id window expires on a true frame clock
+            fsld_grow = fsld_grow | ((~live) & (state.ids >= 0))
+        fsld = jnp.where(good, 0, state.fsld + (fsld_grow & ~good).astype(jnp.int32))
         votes = state.cls_votes.at[sel].add(
             jnp.where(live_k[:, None], jax.nn.one_hot(best_cls, NUM_CLASSES), 0.0)
         )

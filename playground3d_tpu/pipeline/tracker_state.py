@@ -246,7 +246,12 @@ def associate_and_update(
     kf2 = kf_update(kf1, z, matched_row, kfp, measurement_idx=1)
 
     t_off = jnp.where(matched_row, det_time_row, state.t_off)
-    fsld = jnp.where(matched_row, 0, state.fsld + state.kf.mask.astype(jnp.int32))
+    fsld_grow = state.kf.mask
+    if cfg.ghost_frames > 0:
+        # ghost slots (dead, id retained) keep counting frames so their
+        # re-id window expires on a true frame clock
+        fsld_grow = fsld_grow | ((~state.kf.mask) & (state.ids >= 0))
+    fsld = jnp.where(matched_row, 0, state.fsld + fsld_grow.astype(jnp.int32))
     det_cls_row = parsed.classes[col_safe]
     votes = state.cls_votes + (
         matched_row[:, None] * jax.nn.one_hot(det_cls_row, NUM_CLASSES)
@@ -256,10 +261,62 @@ def associate_and_update(
 
     # ---- births ------------------------------------------------------------
     matched_col = jnp.zeros((K,), bool).at[col_safe].max(matched_row)
+
+    if cfg.ghost_frames > 0:
+        # ghost re-identification (extension, see TrackerConfig.ghost_frames):
+        # an unmatched detection within ghost_r_ft of a dead-but-remembered
+        # track's constant-velocity prediction (same direction) is reborn in
+        # that slot with the old id. One det per ghost, nearest wins.
+        ghost = (~state.kf.mask) & (state.ids >= 0)
+        gdt = jnp.where(ghost, t_ref - state.t_off, 0.0)
+        # kf_view zeroes dt on dead slots; ghosts must roll, so view with a
+        # mask that temporarily includes them
+        gx = kf_view(state.kf._replace(mask=state.kf.mask | ghost), gdt, kfp)
+        dist = jnp.hypot(
+            gx[:, 0:1] - parsed.state[None, :, 0],
+            gx[:, 1:2] - parsed.state[None, :, 1],
+        )
+        same_dir = (state.kf.d[:, None] * parsed.state[None, :, 5]) > 0
+        free_det = parsed.mask & ~matched_col
+        cand = ghost[:, None] & free_det[None, :] & same_dir & (dist < cfg.ghost_r_ft)
+        BIG = jnp.float32(1e9)
+        # tiny slot-index epsilon makes the det-conflict tie-break unique
+        cost = jnp.where(cand, dist, BIG) + jnp.arange(N)[:, None] * 1e-6
+        det_pick = jnp.argmin(cost, axis=1)  # [N]
+        det_cost = jnp.min(cost, axis=1)
+        ok = det_cost < BIG
+        best_for_det = (
+            jnp.full((K,), BIG, jnp.float32)
+            .at[det_pick]
+            .min(jnp.where(ok, det_cost, BIG))
+        )
+        reb = ok & (det_cost <= best_for_det[det_pick])
+        det_r = jnp.clip(det_pick, 0, K - 1)
+        reb_det6 = parsed.state[det_r]
+        # keep the ghost's own velocity: re-id asserts it is the same
+        # vehicle, and the coasted velocity beats the class prior
+        reb_x = jnp.concatenate([reb_det6[:, :5], state.kf.x[:, 5:6]], axis=1)
+        kf2 = kf_add(kf2, reb_x, reb_det6[:, 5], reb, kfp, class_ids=parsed.classes[det_r])
+        t_off = jnp.where(reb, parsed.times[det_r], t_off)
+        fsld = jnp.where(reb, 0, fsld)
+        votes = votes + jnp.where(
+            reb[:, None], jax.nn.one_hot(parsed.classes[det_r], NUM_CLASSES), 0.0
+        )
+        conf_sum = conf_sum + jnp.where(reb, parsed.scores[det_r], 0.0)
+        conf_cnt = conf_cnt + reb.astype(jnp.float32)
+        matched_col = matched_col.at[det_r].max(reb)
+
     unmatched = parsed.mask & ~matched_col
 
     free = ~kf2.mask
-    free_order = jnp.argsort(~free)  # free slots first, ascending index
+    if cfg.ghost_frames > 0:
+        # recycle never-used / expired slots before live ghosts
+        rank = (~free).astype(jnp.int32) * 2 + (free & (state.ids >= 0)).astype(
+            jnp.int32
+        )
+        free_order = jnp.argsort(rank)
+    else:
+        free_order = jnp.argsort(~free)  # free slots first, ascending index
     det_rank = jnp.cumsum(unmatched) - 1  # rank of each unmatched det
     n_free = jnp.sum(free)
     can_place = unmatched & (det_rank < n_free)
@@ -296,9 +353,17 @@ def associate_and_update(
     conf_cnt = jnp.where(add_mask, 1.0, conf_cnt)
     t_off = jnp.where(add_mask, parsed.times[det_for_slot], t_off)
 
+    keep_id = kf3.mask
+    if cfg.ghost_frames > 0:
+        # unexpired ghosts keep their ids through the dead period
+        keep_id = keep_id | (
+            (~kf3.mask)
+            & (state.ids >= 0)
+            & (fsld < cfg.f_max + cfg.ghost_frames)
+        )
     new_state = TrackState(
         kf=kf3,
-        ids=jnp.where(kf3.mask, ids, -1),
+        ids=jnp.where(keep_id, ids, -1),
         fsld=fsld,
         age=age + kf3.mask.astype(jnp.int32),
         cls_votes=votes,
@@ -323,7 +388,8 @@ def lifecycle(
     live = state.kf.mask
 
     # fsld death
-    die = live & (state.fsld >= cfg.f_max)
+    die_fsld = live & (state.fsld >= cfg.f_max)
+    die = die_fsld
 
     # anomalies, evaluated on states rolled to t_ref
     dt = jnp.where(live, t_ref - state.t_off, 0.0)
@@ -372,9 +438,19 @@ def lifecycle(
         die = die | (alive & ~m_kept)
 
     new_mask = live & ~die
+    keep_id = new_mask
+    if cfg.ghost_frames > 0:
+        # fsld deaths (a detection gap) leave a re-id ghost: id and last
+        # state persist in the dead slot. For-cause deaths (anomaly /
+        # overlap / merge) clear fully — their state is not trustworthy.
+        ghost_new = die_fsld & ~(live & bad)
+        ghost_old = (~live) & (state.ids >= 0) & (
+            state.fsld < cfg.f_max + cfg.ghost_frames
+        )
+        keep_id = keep_id | ghost_new | ghost_old
     return state._replace(
         kf=state.kf._replace(mask=new_mask),
-        ids=jnp.where(new_mask, state.ids, -1),
+        ids=jnp.where(keep_id, state.ids, -1),
     )
 
 

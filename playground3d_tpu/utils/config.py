@@ -61,6 +61,17 @@ class TrackerConfig:
     # f_lost frames before deletion; gating stops that drift. Off by
     # default (reference parity) — a cadence-gate A/B candidate for d>=6.
     crop_conf_gate: bool = False
+    # extension beyond the reference: ghost re-identification. A track that
+    # dies by fsld (a detection gap — occlusion/NMS suppression) leaves a
+    # "ghost" for this many further frames: its id, last state and velocity
+    # persist in the dead slot, and a new detection that appears within
+    # ghost_r_ft of the ghost's constant-velocity prediction (same
+    # direction) is REBORN with the old id instead of a fresh one. Cuts
+    # occlusion fragmentation (the reference fragments on any gap beyond
+    # fsld_max, MC3D:463-477) without delaying true deaths the way a large
+    # f_max does. 0 disables (reference behavior).
+    ghost_frames: int = 0
+    ghost_r_ft: float = 15.0
 
     # capacities (fixed shapes on device)
     max_tracks: int = 128

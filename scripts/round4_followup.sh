@@ -35,4 +35,12 @@ run eval_ap.md      python scripts/eval_ap.py --ckpt _outputs/mc_det.npz --frame
 run ab_crop.log     python scripts/ab_crop_kernels.py
 bash scripts/bench_scale.sh >>_outputs/followup.log 2>&1
 run profile_d6.log  env PROFILE_DET_STEP=6 PROFILE_CROP_SLOTS=16 python scripts/profile_clip.py
+# ghost re-id quality A/B at the shipped d=3 config (summarize_gate.py
+# picks up gate_*.log): does reclaiming occluded ids move MOTA/IDs?
+run gate_ghost10.log python -m playground3d_tpu.apps.demo_e2e_mc \
+  --det-ckpt _outputs/mc_det.npz --crop-ckpt _outputs/mc_crop.npz \
+  --batch 4 --frames 120 --cd-max 8 --sequences 3 --track-seeds 2 \
+  --depth 18 --det-step 3 --quantize --approx-topk --ghost-frames 10 \
+  --out-prefix _outputs/gg
+python scripts/summarize_gate.py _outputs >_outputs/gate_summary.md 2>&1
 echo "=== round4 followup done ($(date)) ===" >>_outputs/followup.log

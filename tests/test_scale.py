@@ -54,17 +54,18 @@ def test_scale_10cam_128objects_id_continuity_and_lifecycle(chain10):
     scene = SyntheticScene(
         n_objects=128, seed=3, x_spawn=(360.0, 1760.0), x_visible=(340.0, 1830.0)
     )
-    # f_max=12: at this density the per-camera image-space NMS
-    # (phi_nms_im=0.3, reference parity MC3D:69 "overlapping objects are
-    # possibly pruned") intermittently suppresses far-field vehicles whose
-    # image hulls overlap an in-view neighbor's — emulated occlusion.  A
-    # deployment at 128 concurrent objects configures the lifecycle to
-    # coast through those streaks (the KF prediction stays accurate; id
-    # continuity below proves re-acquisition), exactly like the
-    # reference's fsld_max knob.
+    # At this density the per-camera image-space NMS (phi_nms_im=0.3,
+    # reference parity MC3D:69 "overlapping objects are possibly pruned")
+    # intermittently suppresses far-field vehicles whose image hulls
+    # overlap an in-view neighbor's — emulated occlusion, in streaks that
+    # can exceed f_max and kill a perfectly-tracked object (diagnosed in
+    # scripts/diag_scale_flips.py: 9/50 isolated objects fragmented).
+    # ghost_frames re-identifies the reappearing vehicle with the old id
+    # while keeping the reference's f_max=5 death latency — the extension
+    # this test certifies at scale.
     cfg = TrackerConfig(
         max_tracks=256, max_dets=512, x_range=(320.0, 1840.0), f_init=1,
-        f_max=12, estimate_ts_bias=False,
+        ghost_frames=10, estimate_ts_bias=False,
     )
     kfp = default_params()
     bank = bank_from_registry(reg)
@@ -137,12 +138,9 @@ def test_scale_10cam_128objects_id_continuity_and_lifecycle(chain10):
     common = sorted(set(m_early) & set(m_late))
     assert len(common) >= 40, f"too few isolated tracked objects: {len(common)}"
     flips = [oi for oi in common if m_early[oi] != m_late[oi]]
-    # <=2 residual flips allowed: image-space NMS (phi_nms_im, emulated
-    # occlusion) can suppress a far-field vehicle's detection for longer
-    # than even f_max=12 consecutive frames, and a detection gap beyond
-    # f_max legitimately fragments the track — the reference's fsld_max
-    # lifecycle behaves identically (MC3D:436-480). Diagnosed, not a
-    # tracker defect: the KF prediction stays on the object throughout
+    # <=2 residual flips allowed: a suppression streak longer than
+    # f_max + ghost_frames legitimately fragments (the ghost expires);
+    # without ghost re-id this run fragments 9 of ~50 isolated objects
     # (scripts/diag_scale_flips.py).
     assert len(flips) <= 2, f"id flips on isolated objects: {flips[:10]}"
 

@@ -169,3 +169,113 @@ def test_clip_step_matches_frame_steps(toy_camera, scene):
         np.asarray(s1.kf.x), np.asarray(s2.kf.x), atol=1e-4
     )
     assert snaps.states7.shape[0] == T
+
+
+# ---------------------------------------------------------------------------
+# ghost re-identification (extension: TrackerConfig.ghost_frames)
+# ---------------------------------------------------------------------------
+
+
+def _one_det(x, t, K=4, y=60.0, direction=1.0):
+    """ParsedDetections with a single vehicle detection at roadway x."""
+    import jax.numpy as jnp
+
+    from playground3d_tpu.pipeline.tracker_state import ParsedDetections
+
+    state = np.zeros((K, 6), np.float32)
+    state[0] = [x, y, 18.0, 6.0, 5.0, direction]
+    mask = np.zeros((K,), bool)
+    mask[0] = True
+    return ParsedDetections(
+        state=jnp.asarray(state),
+        scores=jnp.asarray(np.where(mask, 0.9, 0.0), np.float32),
+        classes=jnp.zeros((K,), jnp.int32),
+        cam_idx=jnp.zeros((K,), jnp.int32),
+        times=jnp.full((K,), t, jnp.float32),
+        mask=jnp.asarray(mask),
+    )
+
+
+def _no_det(t, K=4):
+    import jax.numpy as jnp
+
+    from playground3d_tpu.pipeline.tracker_state import ParsedDetections
+
+    return ParsedDetections(
+        state=jnp.zeros((K, 6), jnp.float32),
+        scores=jnp.zeros((K,), jnp.float32),
+        classes=jnp.zeros((K,), jnp.int32),
+        cam_idx=jnp.zeros((K,), jnp.int32),
+        times=jnp.full((K,), t, jnp.float32),
+        mask=jnp.zeros((K,), bool),
+    )
+
+
+def _run_gap_scenario(ghost_frames, gap, reappear_offset=0.0):
+    """Track a CV vehicle, drop detections for `gap` frames, reappear at the
+    CV-consistent position (+reappear_offset ft); return (id_before,
+    id_after, age_after)."""
+    import jax.numpy as jnp
+
+    from playground3d_tpu.pipeline.tracker_state import (
+        associate_and_update,
+        init_track_state,
+        lifecycle,
+    )
+    from playground3d_tpu.track.kf import default_params
+
+    cfg = TrackerConfig(
+        max_tracks=8, max_dets=4, f_init=1, f_max=2,
+        ghost_frames=ghost_frames, ghost_r_ft=15.0,
+        x_range=(300.0, 2000.0), estimate_ts_bias=False,
+    )
+    kfp = default_params()
+    state = init_track_state(cfg.max_tracks)
+    v, dt = 30.0, 0.1
+    f = 0
+    id_before = None
+    for _ in range(4):  # establish the track
+        t = f * dt
+        det = _one_det(500.0 + v * t, t)
+        state, _, _ = associate_and_update(state, det, jnp.float32(t), kfp, cfg)
+        state = lifecycle(state, jnp.float32(t), kfp, cfg)
+        f += 1
+    ids = np.asarray(state.ids)
+    live = np.asarray(state.kf.mask)
+    assert live.sum() == 1
+    id_before = int(ids[live][0])
+    for _ in range(gap):  # occlusion: no detections
+        t = f * dt
+        state, _, _ = associate_and_update(state, _no_det(t), jnp.float32(t), kfp, cfg)
+        state = lifecycle(state, jnp.float32(t), kfp, cfg)
+        f += 1
+    assert int(np.asarray(state.kf.mask).sum()) == 0  # track died in the gap
+    t = f * dt
+    det = _one_det(500.0 + v * t + reappear_offset, t)
+    state, _, _ = associate_and_update(state, det, jnp.float32(t), kfp, cfg)
+    state = lifecycle(state, jnp.float32(t), kfp, cfg)
+    ids = np.asarray(state.ids)
+    live = np.asarray(state.kf.mask)
+    assert live.sum() == 1
+    return id_before, int(ids[live][0]), int(np.asarray(state.age)[live][0])
+
+
+def test_ghost_reid_reclaims_id_after_gap():
+    """A detection gap longer than f_max kills the track; when the vehicle
+    reappears near the ghost's constant-velocity prediction within the
+    ghost window, the OLD id (and its age/seniority) is reborn."""
+    id_before, id_after, age_after = _run_gap_scenario(ghost_frames=8, gap=4)
+    assert id_after == id_before
+    assert age_after > 4  # seniority preserved, not a fresh age-0 track
+
+
+def test_ghost_reid_respects_radius_window_and_flag():
+    # off (reference behavior): fragment to a new id
+    id_b, id_a, age = _run_gap_scenario(ghost_frames=0, gap=4)
+    assert id_a != id_b and age <= 1
+    # reappearing far from the prediction: not the same vehicle
+    id_b, id_a, _ = _run_gap_scenario(ghost_frames=8, gap=4, reappear_offset=60.0)
+    assert id_a != id_b
+    # gap beyond f_max + ghost_frames: ghost expired
+    id_b, id_a, _ = _run_gap_scenario(ghost_frames=4, gap=9)
+    assert id_a != id_b
