@@ -101,7 +101,11 @@ def test_full_reprojection_error(toy_camera, rng):
     space = np.asarray(state_to_space(jnp.asarray(states)))
     im_boxes = project(space.reshape(-1, 3)).reshape(-1, 8, 2).astype(np.float32)
 
-    # refine P's z-scale against these boxes (reference scale_Z flow)
+    # refine P's z-scale against these boxes (reference scale_Z flow).
+    # toy_camera is session-scoped: restore the registry's P afterwards so
+    # later tests (overlay rendering, tracker runs) see the fixture's
+    # original calibration, not this test's random-height refit.
+    P_orig = reg.P[c].copy()
     P = scale_P_z(
         reg.P[c, 0], im_boxes, states[:, 4], reg.H[c, 0]
     )
@@ -115,6 +119,7 @@ def test_full_reprojection_error(toy_camera, rng):
 
     bottom_err = np.sqrt(((repro[:, :4] - im_boxes[:, :4]) ** 2).sum(-1)).mean()
     top_err = np.sqrt(((repro[:, 4:] - im_boxes[:, 4:]) ** 2).sum(-1)).mean()
+    reg.P[c] = P_orig  # undo the session-fixture mutation
     assert bottom_err < 2.0, bottom_err
     assert top_err < 25.0, top_err  # top corners are approximate by design
 
