@@ -215,3 +215,31 @@ class TrackOverlayWriter:
     def close(self, timeout: float = 60.0) -> None:
         for w in self.writers:
             w.close(timeout=timeout)
+
+
+def frames_dir_to_video(
+    frames_dir: str, out_path: str, fps: int = 30, subsample: bool = True
+) -> int:
+    """Assemble a directory of numbered PNG frames (what TrackOverlayWriter /
+    AsyncFrameWriter emit) into a first-party YUV4MPEG2 video — the
+    reference's ``im_to_vid`` overlay-to-video workflow
+    (minimal_3D_track.py:920-937, cv2.VideoWriter there) without any codec
+    dependency. Any player/ffmpeg consumes .y4m directly.
+
+    Returns the number of frames written.
+    """
+    import os
+
+    from playground3d_tpu.data.video import read_png, write_y4m
+
+    names = sorted(n for n in os.listdir(frames_dir) if n.endswith(".png"))
+    if not names:
+        raise ValueError(f"no .png frames in {frames_dir}")
+
+    def frames():
+        for n in names:
+            f = read_png(os.path.join(frames_dir, n))
+            yield f if f.dtype == np.uint8 else np.clip(f, 0, 255).astype(np.uint8)
+
+    write_y4m(out_path, frames(), fps=fps, subsample=subsample)
+    return len(names)

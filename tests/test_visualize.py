@@ -136,3 +136,47 @@ def test_trackers_invoke_on_frame(toy_camera):
         mc.process(np.zeros((1, 8, 8, 3), np.float32), [1.6e9 + f / FPS], f)
     assert [c[0] for c in mc_calls] == [0, 1, 2]
     assert all(c[1] == (1,) for c in mc_calls)
+
+
+def test_frames_dir_to_video_roundtrip(tmp_path):
+    """Overlay PNGs -> first-party y4m video -> decoded frames match (the
+    reference's im_to_vid workflow, minimal_3D_track.py:920-937)."""
+    from playground3d_tpu.data.video import VideoFrameSource, write_png
+    from playground3d_tpu.tools.visualize import frames_dir_to_video
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    # smooth gradients: 4:2:0 chroma subsampling is near-lossless on these
+    # (random per-pixel chroma would not round-trip, by design of 4:2:0)
+    yy, xx = np.mgrid[0:64, 0:96].astype(np.float32)
+    frames = np.stack(
+        [
+            np.stack(
+                [xx / 96 * 255, yy / 64 * 255, np.full_like(xx, 40.0 * i)], -1
+            ).astype(np.uint8)
+            for i in range(4)
+        ]
+    )
+    for i, f in enumerate(frames):
+        write_png(str(d / f"{i:05d}.png"), f)
+
+    out = str(tmp_path / "overlay.y4m")
+    n = frames_dir_to_video(str(d), out, fps=15)
+    assert n == 4
+
+    from playground3d_tpu.utils.constants import IMAGENET_MEAN, IMAGENET_STD
+
+    decoded = [
+        f
+        for f, _ in VideoFrameSource(out, resize_hw=(64, 96), parse_ts=False)
+    ]
+    assert len(decoded) == 4
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+    for orig, dec in zip(frames, decoded):
+        rgb = np.clip((dec * std + mean) * 255.0, 0, 255)  # de-normalize
+        assert rgb.shape == (64, 96, 3)
+        # BT.601 + 4:2:0 chroma averaging round trip on random noise:
+        # luma-accurate, chroma averaged over 2x2
+        err = np.abs(rgb - orig.astype(np.float32)).mean()
+        assert err < 12.0, err
