@@ -104,6 +104,11 @@ def main(argv=None):
     )
     ap.add_argument("--out-prefix", default="/tmp/demo_mc")
     ap.add_argument(
+        "--per-frame", action="store_true",
+        help="track with one device call per frame instead of the fused "
+        "clip program (latency-style run; many more tunnel round trips)",
+    )
+    ap.add_argument(
         "--sequences", type=int, default=1,
         help="fresh scenes tracked with the same nets (quality-gate spread)",
     )
@@ -138,6 +143,10 @@ def main(argv=None):
 
     import jax
 
+    from playground3d_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from playground3d_tpu.data.dataset import Prefetcher, SyntheticDetectionDataset
     from playground3d_tpu.models.nn import load_params, save_params
     from playground3d_tpu.models import retinanet_init
@@ -149,8 +158,14 @@ def main(argv=None):
         print(f"[{time.time() - t0:7.1f}s] {msg}", flush=True)
 
     shape = (args.height, args.width)
+    # uint8 over the wire: forward_raw normalizes uint8 on device
+    # (models/retinanet.py:normalize_on_device), so shipping quantized frames
+    # is 4x less host->device transfer than normalized f32 — on the dev
+    # tunnel (~1-35 MB/s) the f32 transfer, not the TPU, set the 2.5 s/step
+    # training rate. Real cameras deliver uint8 anyway.
     ds = SyntheticDetectionDataset(
-        image_shape=shape, n_objects=6, seed=0, augment=True, zoom=args.zoom
+        image_shape=shape, n_objects=6, seed=0, augment=True, zoom=args.zoom,
+        output_dtype="uint8",
     )
 
     def train(cfg, dataset, steps, tag, ckpt_path=None):
@@ -181,9 +196,18 @@ def main(argv=None):
         pf = Prefetcher(
             factory=dataset.batch_factory(args.batch), workers=args.workers, depth=4
         )
+        # double-buffered H2D: device_put the NEXT batch right after
+        # dispatching the current step, so the (tunnel-slow) transfer
+        # overlaps the device compute instead of serializing with it
+        def put(b):
+            return jax.device_put(b[0]), jax.device_put(b[1])
+
+        nxt = put(next(pf))
         for step in range(step0, steps):
-            frames, labels = next(pf)
+            frames, labels = nxt
             m = trainer.train_step(frames, labels)
+            if step + 1 < steps:
+                nxt = put(next(pf))
             if step % 100 == 0:
                 log(f"{tag} step {step}: loss={float(m['loss']):.4f}")
             # periodic checkpoint: long runs through the dev tunnel can hang;
@@ -227,7 +251,7 @@ def main(argv=None):
     else:
         crop_ds = SyntheticDetectionDataset(
             image_shape=shape, n_objects=6, seed=1, augment=True, zoom=args.zoom,
-            crop_mode=True, crop_size=112,
+            crop_mode=True, crop_size=112, output_dtype="uint8",
         )
         crop_params = train(
             TrainConfig(depth=args.depth, stem="conv7", image_shape=(112, 112), lr=3e-4),
@@ -242,7 +266,7 @@ def main(argv=None):
         det_params = quantize_detector(det_params, calib, args.depth, stem="s2d")
         calib_crop_ds = SyntheticDetectionDataset(
             image_shape=shape, n_objects=6, seed=1, augment=True, zoom=args.zoom,
-            crop_mode=True, crop_size=112,
+            crop_mode=True, crop_size=112, output_dtype="uint8",
         )
         crop_calib, _ = calib_crop_ds.batch_factory(args.batch)()
         crop_params = quantize_detector(crop_params, crop_calib, args.depth, stem="conv7")
@@ -282,16 +306,39 @@ def main(argv=None):
             reg, cameras, cfg=tcfg, det_params=det_params, crop_params=crop_params,
             depth=args.depth, centers=centers, stem="s2d",
         )
-        rng = np.random.default_rng(render_seed)
-        for f in range(args.frames):
-            t = f / 30.0
-            frames = []
-            for ci, cam in enumerate(cameras):
+        # frames ship as uint8 (tracker packs + normalizes on device): 4x
+        # less H2D than normalized f32 on the tunnel. Real cameras are uint8.
+        def cam_source(ci):
+            rng_c = np.random.default_rng([render_seed, ci])
+            for f in range(args.frames):
+                t = f / 30.0
                 frame, _ = render_frame(
-                    scene, t, reg.P[ci, 0], height=args.height, width=args.width, rng=rng
+                    scene, t, reg.P[ci, 0], height=args.height,
+                    width=args.width, rng=rng_c, normalized=False,
                 )
-                frames.append(frame)
-            tracker.process(np.stack(frames), [1.6e9 + t] * 3, f)
+                yield (np.clip(frame, 0.0, 1.0) * 255.0).astype(np.uint8), 1.6e9 + t
+
+        if args.per_frame:
+            # one device call per frame (latency-style run; many tunnel RTTs)
+            rng = np.random.default_rng(render_seed)
+            for f in range(args.frames):
+                t = f / 30.0
+                frames = [
+                    (np.clip(fr, 0.0, 1.0) * 255.0).astype(np.uint8)
+                    for fr, _ in (
+                        render_frame(
+                            scene, t, reg.P[ci, 0], height=args.height,
+                            width=args.width, rng=rng, normalized=False,
+                        )
+                        for ci in range(len(cameras))
+                    )
+                ]
+                tracker.process(np.stack(frames), [1.6e9 + t] * 3, f)
+        else:
+            # the SHIPPED fused clip program (one device call per 24 frames,
+            # async double-buffered) — what bench.py measures, and ~clip_len
+            # fewer tunnel round trips than the per-frame loop
+            tracker.track([cam_source(ci) for ci in range(len(cameras))])
         pred_path = f"{args.out_prefix}_{tag}_pred.csv"
         tracker.write_results_csv(pred_path)
 

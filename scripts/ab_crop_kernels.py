@@ -26,6 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+
+from playground3d_tpu.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
 import numpy as np
 
 from playground3d_tpu.utils.profiling import device_ms

@@ -77,6 +77,10 @@ def main(argv=None):
 
     import jax
 
+    from playground3d_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from playground3d_tpu.data.dataset import SyntheticDetectionDataset
     from playground3d_tpu.models import retinanet_init
     from playground3d_tpu.models.nn import load_params

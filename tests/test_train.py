@@ -54,6 +54,34 @@ def test_train_step_runs_and_loss_decreases():
     assert losses[-1] < losses[0] * 1.5, losses
 
 
+def test_train_step_uint8_wire_matches_f32():
+    """uint8-over-the-wire training (demo_e2e_mc ships quantized frames;
+    forward_raw normalizes on device) must match the f32 path bit-for-bit
+    when fed the same quantized pixels — the 4x transfer saving is free."""
+    from playground3d_tpu.utils.constants import IMAGENET_MEAN, IMAGENET_STD
+
+    cfg = TrainConfig(depth=18, image_shape=(128, 192), lr=2e-4)
+    ds = SyntheticDetectionDataset(
+        image_shape=(128, 192), n_objects=4, seed=0, augment=False, zoom=6.0,
+        output_dtype="uint8",
+    )
+    frames_u8, labels = next(ds.batches(2))
+    assert frames_u8.dtype == np.uint8
+    frames_f32 = (frames_u8.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+
+    tr_u8 = Trainer(cfg, key=jax.random.PRNGKey(0))
+    tr_f32 = Trainer(cfg, key=jax.random.PRNGKey(0))
+    m_u8 = tr_u8.train_step(frames_u8, labels)
+    m_f32 = tr_f32.train_step(frames_f32, labels)
+    np.testing.assert_allclose(
+        float(m_u8["loss"]), float(m_f32["loss"]), rtol=1e-5
+    )
+    # a second uint8 step keeps training (params moved, loss finite)
+    m2 = tr_u8.train_step(frames_u8, labels)
+    assert np.isfinite(float(m2["loss"]))
+    assert float(m2["loss"]) != float(m_u8["loss"])
+
+
 def test_train_step_dp_mesh():
     """Same step over the 8-device CPU mesh: batch sharded, params replicated."""
     mesh = make_mesh(8)
