@@ -148,7 +148,7 @@ def main(argv=None):
     enable_persistent_cache()
 
     from playground3d_tpu.data.dataset import Prefetcher, SyntheticDetectionDataset
-    from playground3d_tpu.models.nn import load_params, save_params
+    from playground3d_tpu.models.nn import load_params, save_params, save_step_sidecar
     from playground3d_tpu.models import retinanet_init
     from playground3d_tpu.train.trainer import TrainConfig, Trainer
 
@@ -215,8 +215,7 @@ def main(argv=None):
             if ckpt_path and step and step % 500 == 0:
                 save_params(ckpt_path, jax.device_get(trainer.state.params))
                 # params on disk include step's update -> resume at step+1
-                with open(ckpt_path + ".step", "w") as f:
-                    f.write(str(step + 1))
+                save_step_sidecar(ckpt_path + ".step", step + 1)
         pf.close()
         final = jax.device_get(trainer.state.params)
         if ckpt_path:
@@ -224,8 +223,7 @@ def main(argv=None):
             # device_get above is exactly where a tunnel hang would strike,
             # and a premature .step=steps would make --resume skip the tail
             save_params(ckpt_path, final)
-            with open(ckpt_path + ".step", "w") as f:
-                f.write(str(steps))
+            save_step_sidecar(ckpt_path + ".step", steps)
         log(f"{tag} done: loss={float(m['loss']):.4f}")
         return final
 

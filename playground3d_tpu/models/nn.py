@@ -19,6 +19,7 @@ Conventions
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -147,7 +148,29 @@ def save_params(path: str, params: Params) -> None:
             flat[prefix] = np.asarray(node)
 
     rec("", params)
-    np.savez(path, **flat)
+    # Atomic write: training through the dev tunnel can hang/die mid-save,
+    # and a torn checkpoint would break the --resume recovery path that the
+    # long-run training scripts rely on. Write-to-temp + rename is atomic on
+    # POSIX when temp and target share a directory.
+    tmp = f"{path}.tmp-{os.getpid()}"
+    try:
+        with open(tmp, "wb") as fh:
+            np.savez(fh, **flat)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def save_step_sidecar(path: str, step: int) -> None:
+    """Atomically record the resume step in a checkpoint's ``.step`` sidecar."""
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write(str(step))
+    os.replace(tmp, path)
 
 
 def load_params(path: str, like: Params) -> Params:

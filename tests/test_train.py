@@ -241,3 +241,46 @@ def test_multiworker_prefetcher():
     assert all(f.shape == (2, 64, 96, 3) for f, l in got)
     # different workers produce different batches
     assert not np.allclose(got[0][0], got[1][0])
+
+
+def test_save_params_atomic(tmp_path, monkeypatch):
+    """save_params must leave no temp droppings and survive interruption:
+    an existing checkpoint is either fully replaced or left intact (the
+    --resume recovery path depends on never seeing a torn npz)."""
+    import os
+
+    from playground3d_tpu.models.nn import (
+        load_params,
+        save_params,
+        save_step_sidecar,
+    )
+
+    params = {"a": np.arange(6, dtype=np.float32).reshape(2, 3),
+              "b": [np.ones((4,), np.float32), np.zeros((2, 2), np.float32)]}
+    path = str(tmp_path / "ckpt.npz")
+    save_params(path, params)
+    back = load_params(path, params)
+    np.testing.assert_array_equal(back["a"], params["a"])
+    np.testing.assert_array_equal(back["b"][1], params["b"][1])
+    # no temp files left behind
+    assert os.listdir(tmp_path) == ["ckpt.npz"]
+
+    # a save that dies mid-write must not clobber the existing checkpoint
+    import playground3d_tpu.models.nn as nnmod
+
+    def torn_savez(fh, **kw):
+        fh.write(b"partial garbage")
+        raise RuntimeError("tunnel hang mid-save")
+
+    monkeypatch.setattr(nnmod.np, "savez", torn_savez)
+    with pytest.raises(RuntimeError):
+        save_params(path, params)
+    monkeypatch.undo()
+    back2 = load_params(path, params)
+    np.testing.assert_array_equal(back2["a"], params["a"])
+    assert os.listdir(tmp_path) == ["ckpt.npz"]
+
+    save_step_sidecar(path + ".step", 1500)
+    with open(path + ".step") as fh:
+        assert fh.read() == "1500"
+    assert sorted(os.listdir(tmp_path)) == ["ckpt.npz", "ckpt.npz.step"]
