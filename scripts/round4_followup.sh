@@ -43,4 +43,7 @@ run gate_ghost10.log python -m playground3d_tpu.apps.demo_e2e_mc \
   --depth 18 --det-step 3 --quantize --approx-topk --ghost-frames 10 \
   --out-prefix _outputs/gg
 python scripts/summarize_gate.py _outputs >_outputs/gate_summary.md 2>&1
+# autonomous ship step: pick the fastest quality-SHIPPABLE candidate and
+# commit it as bench.py's default config (bench_config.json)
+python scripts/ship_decision.py --commit >>_outputs/followup.log 2>&1
 echo "=== round4 followup done ($(date)) ===" >>_outputs/followup.log

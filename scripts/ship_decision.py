@@ -1,0 +1,218 @@
+"""Turn the gate + bench evidence into the shipped bench.py configuration.
+
+Round-3 verdict item #1: the quality gates (scripts/gate_*.sh -> mean±std
+MOTA tables, summarize_gate.py SHIPPABLE calls) and the fps sweeps
+(scripts/bench_*.sh -> bench.py JSON lines per candidate) decide which
+cadence configuration ships as the default the driver measures. This script
+closes the loop autonomously so a late TPU return still converts into a
+shipped config without a human in it:
+
+1. parse every ``_outputs/gate_<tag>.log`` aggregate, compute the same
+   sem-adjusted SHIPPABLE/MARGINAL/blocked verdict as summarize_gate.py;
+2. parse ``_outputs/bench_candidates.log`` / ``bench_crop_slots.log`` for
+   the measured fps of each candidate tag;
+3. among quality-SHIPPABLE perf candidates, pick the fastest (measured fps
+   when available, clip-algebra ranking as fallback) that beats the d3
+   baseline fps;
+4. write ``bench_config.json`` at the repo root — bench.py reads it as its
+   default knob values (env still overrides), so the shipped default IS the
+   benched default — and with ``--commit`` commit it.
+
+Reference for the cadence lever: MC3D_crop_tracker.py:78-79 (det_step /
+skip_step as the designed fast mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import importlib.util
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_spec = importlib.util.spec_from_file_location(
+    "summarize_gate", os.path.join(REPO, "scripts", "summarize_gate.py")
+)
+summarize_gate = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(summarize_gate)
+
+SHIP_TOL = 0.02
+
+# perf candidates, in clip-algebra speed order (fastest first) as the
+# fallback ranking when a measured fps is missing. Quality-only knobs
+# (crop_conf_gate, ghost re-id) are reported but never auto-shipped.
+PERF_CANDIDATES = [
+    ("d6s2_nudge", {"BENCH_DET_STEP": "6", "BENCH_SKIP_STEP": "2",
+                    "BENCH_SIZE_NUDGE": "1"}),
+    ("d6_nudge_slots16", {"BENCH_DET_STEP": "6", "BENCH_SIZE_NUDGE": "1",
+                          "BENCH_CROP_SLOTS": "16"}),
+    ("d6_nudge_slots24", {"BENCH_DET_STEP": "6", "BENCH_SIZE_NUDGE": "1",
+                          "BENCH_CROP_SLOTS": "24"}),
+    ("d6_nudge", {"BENCH_DET_STEP": "6", "BENCH_SIZE_NUDGE": "1"}),
+    ("d6", {"BENCH_DET_STEP": "6"}),
+    ("d3_slots16", {"BENCH_CROP_SLOTS": "16"}),
+    ("d3_slots24", {"BENCH_CROP_SLOTS": "24"}),
+]
+
+# bench-log tag -> gate-log tag when they differ (the slot benches measure
+# d6_nudge_slotsNN while gate_crop_slots.sh certifies the same config)
+GATE_TAG_FOR = {
+    "d6_nudge_slots32": "d6_nudge",
+    "d3_slots24": "d3_slots16",       # 24 slots strictly dominates 16-slot quality
+    "d6_nudge_slots24": "d6_nudge_slots16",
+}
+
+
+def gate_verdicts(outdir: str):
+    """tag -> (verdict, dMOTA, sem) with the summarize_gate.py rules."""
+    parsed = {}
+    for path in sorted(glob.glob(os.path.join(outdir, "gate_*.log"))):
+        tag = os.path.basename(path)[5:-4]
+        if tag.startswith("cadence"):
+            continue
+        p = summarize_gate.parse_log(path)
+        if p is not None and "MOTA" in p["stats"]:
+            parsed[tag] = p
+    base = parsed.get("d3")
+    if base is None:
+        return {}, None
+    b_mu, b_sd = base["stats"]["MOTA"]
+    b_n = max(base["n"], 1)
+    out = {}
+    for tag, p in parsed.items():
+        if tag == "d3":
+            continue
+        mu, sd = p["stats"]["MOTA"]
+        n = max(p["n"], 1)
+        delta = mu - b_mu
+        sem = (b_sd ** 2 / b_n + sd ** 2 / n) ** 0.5
+        if delta - sem >= -SHIP_TOL:
+            verdict = "SHIPPABLE"
+        elif delta >= -SHIP_TOL:
+            verdict = "MARGINAL"
+        else:
+            verdict = "blocked"
+        out[tag] = (verdict, delta, sem)
+    return out, (b_mu, b_sd)
+
+
+def bench_fps(outdir: str):
+    """tag -> best measured fps from the candidate/slot bench logs."""
+    fps = {}
+    for name in ("bench_candidates.log", "bench_crop_slots.log"):
+        path = os.path.join(outdir, name)
+        if not os.path.exists(path):
+            continue
+        tag = None
+        for line in open(path):
+            m = re.match(r"--- (\S+):", line)
+            if m:
+                tag = m.group(1)
+                continue
+            if tag is None or not line.lstrip().startswith("{"):
+                continue
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            v = float(rec.get("value", 0.0))
+            if v > 0:
+                fps[tag] = max(fps.get(tag, 0.0), v)
+    return fps
+
+
+def decide(outdir: str):
+    verdicts, base_mota = gate_verdicts(outdir)
+    fps = bench_fps(outdir)
+    base_fps = fps.get("d3_shipped")
+
+    report = {
+        "baseline": {"tag": "d3", "mota": base_mota, "fps": base_fps},
+        "verdicts": {t: {"verdict": v, "dMOTA": round(d, 4), "sem": round(s, 4)}
+                     for t, (v, d, s) in sorted(verdicts.items())},
+        "fps": {t: round(v, 1) for t, v in sorted(fps.items())},
+    }
+    if not verdicts:
+        return None, report, "no gate evidence yet (need _outputs/gate_d3.log + candidates)"
+
+    shippable = []
+    for rank, (tag, knobs) in enumerate(PERF_CANDIDATES):
+        gtag = GATE_TAG_FOR.get(tag, tag)
+        v = verdicts.get(gtag)
+        if v is None or v[0] != "SHIPPABLE":
+            continue
+        shippable.append((tag, knobs, fps.get(tag), rank, gtag))
+    if not shippable:
+        return None, report, "no quality-SHIPPABLE perf candidate; d3 default stands"
+
+    measured = [c for c in shippable if c[2] is not None]
+    if measured:
+        tag, knobs, f, _, gtag = max(measured, key=lambda c: c[2])
+        if base_fps is not None and f <= base_fps:
+            return None, report, (
+                f"best SHIPPABLE ({tag}) measured {f:.1f} fps <= d3 baseline "
+                f"{base_fps:.1f}; d3 default stands"
+            )
+        basis = f"measured {f:.1f} fps"
+    else:
+        tag, knobs, f, _, gtag = min(shippable, key=lambda c: c[3])
+        basis = "clip-algebra ranking (no candidate fps measured)"
+    cfg = {
+        "tag": tag,
+        "knobs": knobs,
+        "basis": basis,
+        "quality_gate": {
+            "tag": gtag,
+            "verdict": "SHIPPABLE",
+            "dMOTA": round(verdicts[gtag][1], 4),
+            "sem": round(verdicts[gtag][2], 4),
+        },
+        "baseline_fps_d3": base_fps,
+    }
+    return cfg, report, f"ship {tag} ({basis})"
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("outdir", nargs="?", default=os.path.join(REPO, "_outputs"))
+    ap.add_argument("--commit", action="store_true",
+                    help="git-commit bench_config.json if the decision changed it")
+    args = ap.parse_args(argv)
+
+    cfg, report, msg = decide(args.outdir)
+    print(json.dumps(report, indent=2))
+    print(f"decision: {msg}")
+    if cfg is None:
+        return 0
+    path = os.path.join(REPO, "bench_config.json")
+    old = open(path).read() if os.path.exists(path) else None
+    new = json.dumps(cfg, indent=2) + "\n"
+    if old == new:
+        print("bench_config.json unchanged")
+        return 0
+    tmp = path + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write(new)
+    os.replace(tmp, path)
+    print(f"wrote {path}")
+    if args.commit:
+        subprocess.run(["git", "-C", REPO, "add", "bench_config.json"], check=True)
+        r = subprocess.run(
+            ["git", "-C", REPO, "commit", "-m",
+             f"Ship {cfg['tag']} as the benched default cadence config\n\n"
+             f"Gate-certified ({cfg['quality_gate']['tag']}: dMOTA "
+             f"{cfg['quality_gate']['dMOTA']:+.3f}, sem "
+             f"{cfg['quality_gate']['sem']:.3f}, tol {SHIP_TOL}); {cfg['basis']}. "
+             "bench.py reads bench_config.json as its default knobs."],
+        )
+        print(f"commit rc={r.returncode}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
