@@ -125,6 +125,10 @@ def _run_guarded() -> None:
         attempts += 1
         env = dict(os.environ)
         env["BENCH_INNER"] = "1"
+        # the probe stripped JAX_PLATFORMS to see the real backend; the
+        # measurement child must run on the SAME backend, or a cpu override
+        # in the caller's env would record a silently bogus cpu fps
+        env.pop("JAX_PLATFORMS", None)
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -156,6 +160,11 @@ def _run_guarded() -> None:
 
 def main() -> None:
     import jax
+
+    if jax.devices()[0].platform == "cpu" and os.environ.get("BENCH_ALLOW_CPU") != "1":
+        # this metric is frames/sec/CHIP; a cpu number must never pass as it
+        _fail_record("wrong_backend: jax resolved to cpu (set BENCH_ALLOW_CPU=1 to force)")
+        return
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     try:

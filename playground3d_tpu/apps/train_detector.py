@@ -103,7 +103,9 @@ def main(argv=None):
         if (step + 1) % args.steps_per_epoch == 0:
             import numpy as np
 
-            trainer.end_epoch(float(np.mean([float(x) for x in epoch_losses])))
+            # ONE batched device->host fetch for the whole epoch's losses —
+            # per-item float() would pay one tunnel round trip per step
+            trainer.end_epoch(float(np.mean(jax.device_get(epoch_losses))))
             epoch_losses = []
             trainer.save(args.out)
             print(f"\nepoch checkpoint -> {args.out} (lr={trainer.lr:.2e})")

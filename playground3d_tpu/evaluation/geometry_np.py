@@ -64,6 +64,27 @@ def state_to_im(state, P):
     return space_to_im(state_to_space(state), P)
 
 
+def state_to_im_banked(state, P_eb, P_wb):
+    """[n,>=6] states -> [n,8,2] through the EB/WB dual-correspondence bank.
+
+    THE host-side twin of pipeline.camera_bank.state_to_im_banked: bank
+    selection is by roadway position (y > 60 ft = WB side, reference
+    homography.py:849-856), NOT by direction sign — a westbound vehicle on
+    the eastbound side must project through the EB correspondence. Shared by
+    the overlay writer and the annotator front-ends so every consumer draws
+    boxes exactly where the tracker observes them."""
+    from playground3d_tpu.utils.constants import EB_WB_Y_SPLIT_FT
+
+    state = np.asarray(state)
+    if len(state) == 0:
+        return np.zeros((0, 8, 2), np.float64)
+    space = state_to_space(state[:, :6])
+    use_wb = state[:, 1] > EB_WB_Y_SPLIT_FT
+    im_eb = space_to_im(space, P_eb)
+    im_wb = space_to_im(space, P_wb)
+    return np.where(use_wb[:, None, None], im_wb, im_eb)
+
+
 def height_from_template(template_boxes, template_space_heights, boxes):
     """See geometry.transforms.height_from_template (sum of |dx|+|dy|)."""
     t_top = template_boxes[:, 4:8, :].mean(1)

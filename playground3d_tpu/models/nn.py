@@ -168,9 +168,16 @@ def save_params(path: str, params: Params) -> None:
 def save_step_sidecar(path: str, step: int) -> None:
     """Atomically record the resume step in a checkpoint's ``.step`` sidecar."""
     tmp = f"{path}.tmp-{os.getpid()}"
-    with open(tmp, "w") as fh:
-        fh.write(str(step))
-    os.replace(tmp, path)
+    try:
+        with open(tmp, "w") as fh:
+            fh.write(str(step))
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def load_params(path: str, like: Params) -> Params:

@@ -357,6 +357,11 @@ def make_crop_step(
             # too, so the re-id window expires on a true frame clock
             fsld_grow = fsld_grow | ((~live) & (state.ids >= 0))
         fsld = jnp.where(good, 0, state.fsld + (fsld_grow & ~good).astype(jnp.int32))
+        # the f_max death counter only advances on ATTEMPTED slots (upd):
+        # a slot the crop budget skipped was never given the chance to be
+        # re-detected, so it coasts without moving toward death, while its
+        # growing fsld pushes it up the stale-first schedule
+        misses = jnp.where(good, 0, state.misses + (upd & ~good).astype(jnp.int32))
         votes = state.cls_votes.at[sel].add(
             jnp.where(live_k[:, None], jax.nn.one_hot(best_cls, NUM_CLASSES), 0.0)
         )
@@ -366,6 +371,7 @@ def make_crop_step(
         new_state = state._replace(
             kf=kf2,
             fsld=fsld,
+            misses=misses,
             age=state.age + live.astype(jnp.int32),
             cls_votes=votes,
             conf_sum=conf_sum,

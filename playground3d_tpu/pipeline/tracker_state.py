@@ -56,6 +56,14 @@ class TrackState(NamedTuple):
     kf: KFSlots
     ids: jnp.ndarray  # [N] int32, -1 = free
     fsld: jnp.ndarray  # [N] int32 frames since last detected
+    # failed update ATTEMPTS since the last good measurement. Distinct from
+    # fsld under a crop budget (cfg.crop_slots < live tracks): a slot the
+    # budget skipped was never attempted, so it must not advance toward the
+    # f_max death rule — only fsld (true staleness, which drives the
+    # stale-first rotation and the ghost re-id window) grows. With no budget
+    # pressure the two counters are identical, matching the reference's
+    # single fsld (MC3D_crop_tracker.py:463-477 death, :1240-1252 growth).
+    misses: jnp.ndarray  # [N] int32
     age: jnp.ndarray  # [N] int32 frames alive
     cls_votes: jnp.ndarray  # [N, NUM_CLASSES] float32
     conf_sum: jnp.ndarray  # [N] float32
@@ -87,6 +95,7 @@ def init_track_state(capacity: int) -> TrackState:
         kf=init_slots(capacity),
         ids=jnp.full((capacity,), -1, jnp.int32),
         fsld=jnp.zeros((capacity,), jnp.int32),
+        misses=jnp.zeros((capacity,), jnp.int32),
         age=jnp.zeros((capacity,), jnp.int32),
         cls_votes=jnp.zeros((capacity, NUM_CLASSES), jnp.float32),
         conf_sum=jnp.zeros((capacity,), jnp.float32),
@@ -252,6 +261,9 @@ def associate_and_update(
         # re-id window expires on a true frame clock
         fsld_grow = fsld_grow | ((~state.kf.mask) & (state.ids >= 0))
     fsld = jnp.where(matched_row, 0, state.fsld + fsld_grow.astype(jnp.int32))
+    # full-frame detection attempts every live track, so misses tracks fsld
+    # exactly here (ghost slots are already dead; misses is a death counter)
+    misses = jnp.where(matched_row, 0, state.misses + state.kf.mask.astype(jnp.int32))
     det_cls_row = parsed.classes[col_safe]
     votes = state.cls_votes + (
         matched_row[:, None] * jax.nn.one_hot(det_cls_row, NUM_CLASSES)
@@ -299,6 +311,7 @@ def associate_and_update(
         kf2 = kf_add(kf2, reb_x, reb_det6[:, 5], reb, kfp, class_ids=parsed.classes[det_r])
         t_off = jnp.where(reb, parsed.times[det_r], t_off)
         fsld = jnp.where(reb, 0, fsld)
+        misses = jnp.where(reb, 0, misses)
         votes = votes + jnp.where(
             reb[:, None], jax.nn.one_hot(parsed.classes[det_r], NUM_CLASSES), 0.0
         )
@@ -345,6 +358,7 @@ def associate_and_update(
     )
     next_id = state.next_id + jnp.sum(add_mask).astype(jnp.int32)
     fsld = jnp.where(add_mask, 0, fsld)
+    misses = jnp.where(add_mask, 0, misses)
     age = jnp.where(add_mask, 0, state.age)
     votes = jnp.where(
         add_mask[:, None], jax.nn.one_hot(new_cls, NUM_CLASSES), votes
@@ -365,6 +379,7 @@ def associate_and_update(
         kf=kf3,
         ids=jnp.where(keep_id, ids, -1),
         fsld=fsld,
+        misses=misses,
         age=age + kf3.mask.astype(jnp.int32),
         cls_votes=votes,
         conf_sum=conf_sum,
@@ -387,8 +402,11 @@ def lifecycle(
     and overlap NMS with age-as-score (MC3D:482-518)."""
     live = state.kf.mask
 
-    # fsld death
-    die_fsld = live & (state.fsld >= cfg.f_max)
+    # detection-gap death: f_max failed ATTEMPTS (MC3D:463-477). Counting
+    # attempts rather than frames means a track the crop budget skipped
+    # (crop_slots < live) is never killed for starvation it did not cause;
+    # with no budget pressure misses == fsld and this is the reference rule.
+    die_fsld = live & (state.misses >= cfg.f_max)
     die = die_fsld
 
     # anomalies, evaluated on states rolled to t_ref
@@ -439,6 +457,7 @@ def lifecycle(
 
     new_mask = live & ~die
     keep_id = new_mask
+    fsld = state.fsld
     if cfg.ghost_frames > 0:
         # fsld deaths (a detection gap) leave a re-id ghost: id and last
         # state persist in the dead slot. For-cause deaths (anomaly /
@@ -448,9 +467,14 @@ def lifecycle(
             state.fsld < cfg.f_max + cfg.ghost_frames
         )
         keep_id = keep_id | ghost_new | ghost_old
+        # under budget pressure a track can die with fsld >> f_max (frames
+        # skipped, attempts missed); pin new ghosts to f_max so the re-id
+        # window is always exactly ghost_frames frames from death
+        fsld = jnp.where(ghost_new, jnp.minimum(fsld, cfg.f_max), fsld)
     return state._replace(
         kf=state.kf._replace(mask=new_mask),
         ids=jnp.where(keep_id, state.ids, -1),
+        fsld=fsld,
     )
 
 

@@ -83,11 +83,7 @@ class AnnotatorWeb:
         corners = None
         if reg is not None:
             c = reg.index(self.shell.camera)
-            space = G.state_to_space(states)
-            use_wb = states[:, 1] > EB_WB_Y_SPLIT_FT
-            im_eb = G.space_to_im(space, reg.P[c, 0])
-            im_wb = G.space_to_im(space, reg.P[c, 1])
-            corners = np.where(use_wb[:, None, None], im_wb, im_eb)
+            corners = G.state_to_im_banked(states, reg.P[c, 0], reg.P[c, 1])
         for i, (oid, l) in enumerate(pairs):
             out.append(
                 {
@@ -177,10 +173,10 @@ class AnnotatorWeb:
                         self._send(404, b"not found", "text/plain")
 
             def do_POST(self):
-                n = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(n) or b"{}")
                 with web._lock:
                     try:
+                        n = int(self.headers.get("Content-Length", 0))
+                        req = json.loads(self.rfile.read(n) or b"{}")
                         if self.path.startswith("/cmd"):
                             web.cmd(req["line"])
                         elif self.path.startswith("/pixel"):

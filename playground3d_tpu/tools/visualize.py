@@ -156,18 +156,12 @@ class TrackOverlayWriter:
 
     def _im_boxes(self, states: np.ndarray, cam_row: int) -> np.ndarray:
         """[n,7] states -> [n,8,2] image-space boxes through the camera's
-        direction-matched projection bank."""
+        y-split projection bank (same dispatch as the tracker observes)."""
         from playground3d_tpu.evaluation import geometry_np as G
 
-        if len(states) == 0:
-            return np.zeros((0, 8, 2), np.float32)
-        space = G.state_to_space(states[:, :6])
-        P_eb = self.registry.P[cam_row, 0]
-        P_wb = self.registry.P[cam_row, 1]
-        im_eb = G.space_to_im(space, P_eb)
-        im_wb = G.space_to_im(space, P_wb)
-        wb = states[:, 5] < 0
-        return np.where(wb[:, None, None], im_wb, im_eb)
+        return G.state_to_im_banked(
+            states, self.registry.P[cam_row, 0], self.registry.P[cam_row, 1]
+        )
 
     def __call__(self, frame_num: int, frames: np.ndarray, snap, ts_bias=None):
         if frame_num % self.every:

@@ -27,7 +27,7 @@ run_bench() {
   wait_for_tpu || { echo "$tag: TPU never came back" >>"$LOG"; return 1; }
   echo "--- $tag: $* ($(date))" >>"$LOG"
   # shellcheck disable=SC2048,SC2086
-  env $@ timeout 1800 python bench.py >>"$LOG" 2>&1
+  env BENCH_TPU_WAIT_SECS=120 BENCH_RUN_TIMEOUT=1500 $@ timeout 1800 python bench.py >>"$LOG" 2>&1
 }
 
 run_bench d3_slots24       BENCH_CROP_SLOTS=24

@@ -50,7 +50,7 @@ fi
 # evidence run AFTER the commit: the end-of-round watchdog may reclaim the
 # chip mid-bench and must not be able to cost us the committed artifacts
 if wait_for_tpu; then
-  timeout 2400 python bench.py >_outputs/bench_shipped.log 2>&1
+  env BENCH_TPU_WAIT_SECS=300 BENCH_RUN_TIMEOUT=1800 timeout 2400 python bench.py >_outputs/bench_shipped.log 2>&1
   echo "bench at shipped config: $(tail -1 _outputs/bench_shipped.log)" >>_outputs/followup.log
 fi
 echo "=== round4 finalize done ($(date)) ===" >>_outputs/followup.log

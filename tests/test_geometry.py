@@ -106,20 +106,22 @@ def test_full_reprojection_error(toy_camera, rng):
     # later tests (overlay rendering, tracker runs) see the fixture's
     # original calibration, not this test's random-height refit.
     P_orig = reg.P[c].copy()
-    P = scale_P_z(
-        reg.P[c, 0], im_boxes, states[:, 4], reg.H[c, 0]
-    )
-    reg.set_P(toy_camera["cam"], P)
+    try:
+        P = scale_P_z(
+            reg.P[c, 0], im_boxes, states[:, 4], reg.H[c, 0]
+        )
+        reg.set_P(toy_camera["cam"], P)
 
-    H = jnp.asarray(reg.H[c, 0], dtype=jnp.float32)
-    Pj = jnp.asarray(P, dtype=jnp.float32)
+        H = jnp.asarray(reg.H[c, 0], dtype=jnp.float32)
+        Pj = jnp.asarray(P, dtype=jnp.float32)
 
-    st = im_to_state(jnp.asarray(im_boxes), H, jnp.asarray(states[:, 4]))
-    repro = np.asarray(state_to_im(st, Pj))
+        st = im_to_state(jnp.asarray(im_boxes), H, jnp.asarray(states[:, 4]))
+        repro = np.asarray(state_to_im(st, Pj))
 
-    bottom_err = np.sqrt(((repro[:, :4] - im_boxes[:, :4]) ** 2).sum(-1)).mean()
-    top_err = np.sqrt(((repro[:, 4:] - im_boxes[:, 4:]) ** 2).sum(-1)).mean()
-    reg.P[c] = P_orig  # undo the session-fixture mutation
+        bottom_err = np.sqrt(((repro[:, :4] - im_boxes[:, :4]) ** 2).sum(-1)).mean()
+        top_err = np.sqrt(((repro[:, 4:] - im_boxes[:, 4:]) ** 2).sum(-1)).mean()
+    finally:
+        reg.P[c] = P_orig  # undo the session-fixture mutation even on failure
     assert bottom_err < 2.0, bottom_err
     assert top_err < 25.0, top_err  # top corners are approximate by design
 

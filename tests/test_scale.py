@@ -255,3 +255,56 @@ def test_crop_step_pool256_attempts_only_budget(chain10):
     assert (fsld[:n_live] == fsld0[:n_live] + 1).all()
     assert (fsld[n_live:] == 0).all()
     assert np.isfinite(np.asarray(state2.kf.x)[:n_live]).all()
+
+    # the f_max death counter moved ONLY on the 32 attempted (budgeted)
+    # slots; the 96 budget-skipped live slots stay at zero misses, so the
+    # death rule cannot kill a track the budget never gave a chance to
+    from playground3d_tpu.pipeline.multi_cam import select_crop_slots
+
+    sel = np.asarray(
+        select_crop_slots(
+            jnp.asarray(mask), jnp.asarray(fsld0),
+            state.age, cfg.crop_slots,
+        )
+    )
+    attempted = np.zeros(256, bool)
+    attempted[sel] = True
+    attempted &= mask
+    misses = np.asarray(state2.misses)
+    assert (misses[attempted] == 1).all()
+    assert (misses[~attempted] == 0).all()
+
+
+def test_budget_skipped_track_survives_fmax(chain10):
+    """A live track the crop budget skipped for >= f_max straight frames
+    must NOT be killed by the detection-gap death rule (its fsld grows for
+    the stale-first schedule, but it was never attempted); a track that
+    FAILED f_max attempts must die."""
+    from playground3d_tpu.pipeline.tracker_state import init_track_state, lifecycle
+    from playground3d_tpu.track.kf import default_params
+
+    cfg = TrackerConfig(max_tracks=8, x_range=(320.0, 1840.0))
+    kfp = default_params()
+    state = init_track_state(8)
+    x = np.zeros((8, 6), np.float32)
+    x[:2, 0] = [500.0, 600.0]
+    x[:2, 1] = 30.0
+    x[:2, 2:5] = [18, 6, 5]
+    mask = np.zeros(8, bool)
+    mask[:2] = True
+    state = state._replace(
+        kf=state.kf._replace(
+            x=jnp.asarray(x), mask=jnp.asarray(mask),
+            d=jnp.asarray(np.ones(8, np.float32)),
+        ),
+        ids=jnp.asarray(np.arange(8, dtype=np.int32)),
+        # slot 0: skipped by the budget forever (huge staleness, 0 attempts)
+        # slot 1: attempted and failed f_max times
+        fsld=jnp.asarray(np.array([cfg.f_max * 4, cfg.f_max] + [0] * 6, np.int32)),
+        misses=jnp.asarray(np.array([0, cfg.f_max] + [0] * 6, np.int32)),
+        age=jnp.asarray(mask.astype(np.int32) * 10),
+    )
+    out = lifecycle(state, jnp.float32(0.0), kfp, cfg)
+    alive = np.asarray(out.kf.mask)
+    assert alive[0], "budget-skipped track was killed without an attempt"
+    assert not alive[1], "f_max failed attempts must still kill"
