@@ -9,6 +9,7 @@ shell-command passthrough with undo — the reference's mouse workflow
 
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -116,3 +117,20 @@ def test_bad_requests_keep_session_alive(server):
     # server still serves state
     code, _ = _get(server["base"] + "/state")
     assert code == 200
+
+
+def test_malformed_json_body_answers_400(server):
+    """A syntactically invalid POST body must produce an HTTP 400, not a
+    dropped connection (the parse happens inside the handler's try)."""
+    req = urllib.request.Request(
+        server["base"] + "/cmd", data=b"{not json", method="POST"
+    )
+    try:
+        urllib.request.urlopen(req, timeout=10)
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "error" in json.loads(e.read().decode())
+    # and the session is still alive
+    with urllib.request.urlopen(server["base"] + "/state", timeout=10) as r:
+        assert r.status == 200

@@ -180,3 +180,37 @@ def test_frames_dir_to_video_roundtrip(tmp_path):
         # luma-accurate, chroma averaged over 2x2
         err = np.abs(rgb - orig.astype(np.float32)).mean()
         assert err < 12.0, err
+
+
+def test_np_banked_projection_matches_device_bank(toy_camera):
+    """geometry_np.state_to_im_banked (the overlay/annotator host twin) must
+    dispatch identically to pipeline.camera_bank.state_to_im_banked — bank
+    by roadway side (y > 60 ft), NOT by direction sign."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from playground3d_tpu.evaluation import geometry_np as G
+    from playground3d_tpu.pipeline.camera_bank import (
+        bank_from_registry,
+        state_to_im_banked,
+    )
+
+    reg = toy_camera["registry"]
+    bank = bank_from_registry(reg)
+    rng = np.random.default_rng(11)
+    n = 16
+    states = np.zeros((n, 6), np.float32)
+    states[:, 0] = rng.uniform(380.0, 520.0, n)
+    # straddle the EB/WB split, with directions deliberately mismatched to
+    # the side so a direction-sign dispatch would pick the wrong bank
+    states[:, 1] = np.where(np.arange(n) % 2 == 0, 30.0, 90.0)
+    states[:, 2:5] = [18.0, 6.0, 5.0]
+    states[:, 5] = np.where(np.arange(n) % 4 < 2, 1.0, -1.0)
+
+    host = G.state_to_im_banked(states, reg.P[0, 0], reg.P[0, 1])
+    dev = np.asarray(
+        state_to_im_banked(
+            bank, jnp.asarray(states), jnp.zeros((n,), jnp.int32)
+        )
+    )
+    np.testing.assert_allclose(host, dev, rtol=1e-4, atol=5e-2)
