@@ -176,8 +176,11 @@ def select_crop_slots(
     live slot is attempted at least once per ceil(live/K) frames, so young
     tracks are never starved by a full pool of elders (age-only priority
     starves them indefinitely). fsld*1024+age stays within f32's
-    exact-integer range for fsld <= ~16k (f_max death triggers far
-    earlier)."""
+    exact-integer range for fsld <= ~16k; death rides the misses counter
+    (attempts, not frames), but the rotation itself bounds an unattempted
+    streak to ~ceil(live/K) frames, so fsld at death is at most about
+    f_max * ceil(capacity/K) — e.g. 5 * 16 = 80 at a 256-pool/16-slot
+    worst case, far inside the 16k exactness bound."""
     pri = jnp.where(
         live,
         fsld.astype(jnp.float32) * 1024.0
@@ -351,19 +354,25 @@ def make_crop_step(
         # detected this frame, and the stale-first schedule above needs the
         # signal to rotate them in; with attempt-only increments a skipped
         # slot could coast forever below the f_max death rule).
-        fsld_grow = live
-        if cfg.ghost_frames > 0:
-            # ghost slots (dead, id retained for re-id) count crop frames
-            # too, so the re-id window expires on a true frame clock
-            fsld_grow = fsld_grow | ((~live) & (state.ids >= 0))
-        fsld = jnp.where(good, 0, state.fsld + (fsld_grow & ~good).astype(jnp.int32))
+        # Ghost slots do NOT age here: re-identification can only fire on
+        # full-frame detect frames (associate_and_update), so the ghost
+        # window must expire in re-id OPPORTUNITIES — aging it on crop
+        # frames would let a window shorter than det_step expire with zero
+        # chances to re-id (d>=6 regimes made the flag silently inert).
+        fsld = jnp.where(good, 0, state.fsld + (live & ~good).astype(jnp.int32))
         # the f_max death counter only advances on ATTEMPTED slots (upd):
         # a slot the crop budget skipped was never given the chance to be
         # re-detected, so it coasts without moving toward death, while its
         # growing fsld pushes it up the stale-first schedule
         misses = jnp.where(good, 0, state.misses + (upd & ~good).astype(jnp.int32))
+        # only CONFIDENT crop measurements vote for the class: during a long
+        # occlusion the best candidate is a sub-sigma_c noise box whose
+        # argmax class would otherwise swamp the real votes and (with
+        # size_nudge) drag the coasting track's dimensions toward the wrong
+        # class prior
+        good_k = live_k & (best_conf >= cfg.sigma_c)
         votes = state.cls_votes.at[sel].add(
-            jnp.where(live_k[:, None], jax.nn.one_hot(best_cls, NUM_CLASSES), 0.0)
+            jnp.where(good_k[:, None], jax.nn.one_hot(best_cls, NUM_CLASSES), 0.0)
         )
         conf_sum = state.conf_sum.at[sel].add(jnp.where(live_k, best_conf, 0.0))
         conf_cnt = state.conf_cnt.at[sel].add(live_k.astype(jnp.float32))
@@ -984,11 +993,9 @@ class MultiCameraTracker:
         for k, (frame_num, t_abs, ids, states, classes) in enumerate(self.rows):
             if len(ids) == 0:
                 continue
-            space = G.state_to_space(states)
-            use_wb = states[:, 1] > 60.0
-            im_eb = G.space_to_im(space, self.registry.P[c, 0])
-            im_wb = G.space_to_im(space, self.registry.P[c, 1])
-            im = np.where(use_wb[:, None, None], im_wb, im_eb)
+            im = G.state_to_im_banked(
+                states, self.registry.P[c, 0], self.registry.P[c, 1]
+            )
             bias = list(np.round(self.ts_bias_log[k], 6)) if self.ts_bias_log else None
             for i in range(len(ids)):
                 out.append(

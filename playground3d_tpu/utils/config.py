@@ -63,7 +63,10 @@ class TrackerConfig:
     crop_conf_gate: bool = False
     # extension beyond the reference: ghost re-identification. A track that
     # dies by fsld (a detection gap — occlusion/NMS suppression) leaves a
-    # "ghost" for this many further frames: its id, last state and velocity
+    # "ghost" for this many further RE-ID OPPORTUNITIES (full-frame detect
+    # frames — crop frames cannot re-identify, so they do not age the
+    # window; at det_step=d the window spans ~d*ghost_frames wall-clock
+    # frames): its id, last state and velocity
     # persist in the dead slot, and a new detection that appears within
     # ghost_r_ft of the ghost's constant-velocity prediction (same
     # direction) is REBORN with the old id instead of a fresh one. Cuts

@@ -308,3 +308,49 @@ def test_budget_skipped_track_survives_fmax(chain10):
     alive = np.asarray(out.kf.mask)
     assert alive[0], "budget-skipped track was killed without an attempt"
     assert not alive[1], "f_max failed attempts must still kill"
+
+
+def test_ghost_window_does_not_age_on_crop_frames(chain10):
+    """Re-identification can only fire on detect frames, so crop frames
+    must not consume the ghost window: at det_step>=6 a frame-counted
+    window shorter than det_step would expire with zero re-id chances."""
+    from playground3d_tpu.models import retinanet_init
+    from playground3d_tpu.pipeline.camera_bank import bank_from_registry
+    from playground3d_tpu.pipeline.multi_cam import make_crop_step
+    from playground3d_tpu.pipeline.tracker_state import init_track_state
+    from playground3d_tpu.track.kf import default_params
+
+    reg = chain10["registry"]
+    cfg = TrackerConfig(
+        max_tracks=8, x_range=(320.0, 1840.0), cd_max=4, cs=32,
+        ghost_frames=3, sigma_c=2.0,  # nothing is "good"
+    )
+    kfp = default_params()
+    bank = bank_from_registry(reg)
+    centers = jnp.asarray(chain10["centers"])
+    crop_params = retinanet_init(jax.random.PRNGKey(1), depth=18, stem="s2d")
+    step = make_crop_step(
+        crop_params, 18, bank, centers, kfp, cfg, stem="s2d", frame_stem="s2d"
+    )
+
+    state = init_track_state(8)
+    x = np.zeros((8, 6), np.float32)
+    x[:2, 0] = [500.0, 620.0]
+    x[:2, 1] = 30.0
+    x[:2, 2:5] = [18, 6, 5]
+    live = np.array([True] + [False] * 7)  # slot 1 is a ghost (dead, id kept)
+    state = state._replace(
+        kf=state.kf._replace(
+            x=jnp.asarray(x), mask=jnp.asarray(live),
+            d=jnp.asarray(np.ones(8, np.float32)),
+        ),
+        ids=jnp.asarray(np.array([7, 9] + [-1] * 6, np.int32)),
+        fsld=jnp.asarray(np.array([1, cfg.f_max + 1] + [0] * 6, np.int32)),
+        age=jnp.asarray(np.array([10, 10] + [0] * 6, np.int32)),
+    )
+    frames = jnp.asarray(np.zeros((10, 16, 24, 48), np.float32))
+    state2, _ = step(state, frames, jnp.zeros((10,), jnp.float32), jnp.zeros((10,), jnp.float32))
+    fsld = np.asarray(state2.fsld)
+    assert fsld[0] == 2, "live slot must accumulate staleness on a crop frame"
+    assert fsld[1] == cfg.f_max + 1, "ghost window must not age on a crop frame"
+    assert int(np.asarray(state2.ids)[1]) == 9, "ghost id must survive the crop frame"
