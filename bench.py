@@ -240,7 +240,7 @@ def main() -> None:
     # reference updates unconditionally) — fps-neutral by construction
     # (same program shape), measured for completeness
     CROP_CONF_GATE = _knob("BENCH_CROP_CONF_GATE", "0") == "1"
-    # live slots cropped per crop frame (oldest-first priority). The crop
+    # live slots cropped per crop frame (stale-first priority). The crop
     # step's cost scales with this pool, and at d>=6 crop frames dominate
     # the clip (5 of every 6), so 16 vs 32 is a first-order fps lever for
     # scenes with <=16 concurrent tracks per camera.
