@@ -8,10 +8,13 @@ feeding a bounded queue with ``jax.device_put`` staging (threads suffice:
 decode is the only CPU work and releases the GIL inside codec libraries; the
 hot path is on-device anyway).
 
-Video decode backends are probed at import: cv2, PyAV, or an ``ffmpeg``
-binary via subprocess pipe; none are present in this image, so
-:class:`VideoFrameSource` raises a clear error unless a backend exists,
-and the test/bench path uses :class:`SyntheticVideoSource` or
+Video decode backends are probed at import, first-party first: the native
+libav shim (``native/avdecode.cc`` over the system FFmpeg *libraries* —
+real H.264/HEVC/MPEG-4 decode with no CLI or Python binding required),
+then cv2, PyAV, or an ``ffmpeg`` binary via subprocess pipe.
+:class:`VideoFrameSource` raises a clear error when no backend matches;
+uncompressed ``.y4m`` always works via the built-in reader, and the
+test/bench path can also use :class:`SyntheticVideoSource` or
 :class:`ImageDirSource` (.npy/.npz/.png frames).
 """
 
@@ -36,6 +39,12 @@ from playground3d_tpu.utils.constants import IMAGENET_MEAN, IMAGENET_STD
 
 
 def _probe_decoder():
+    # first-party native libav shim first: no Python-level deps, decodes
+    # H.264/HEVC/MPEG-4 straight to YUV420 planes for the fused s2d tails
+    from playground3d_tpu.data import avdecode
+
+    if avdecode.available():
+        return "lav"
     try:
         import cv2  # noqa: F401
 
@@ -323,11 +332,14 @@ def write_y4m(path: str, frames, fps: int = 30, subsample: bool = True) -> None:
 class VideoFrameSource(FrameSource):
     """Real video decode with pixel timestamp parsing (mp_loader.py:206-247).
 
-    Backends: the first-party y4m reader (by extension, no dependencies),
-    else cv2 / PyAV / ffmpeg-pipe. The timestamp is parsed from the frame at
-    its NATIVE resolution *before* resizing — the reference does the same
-    (mp_loader.py load_to_queue_video), and 4K timestamp geometry never
-    matches a resized frame."""
+    Backends: the first-party y4m reader (by extension, no dependencies);
+    for compressed containers (.mp4 H.264/HEVC/MPEG-4 — the reference's
+    actual recordings) the first-party libav shim (native/avdecode.cc over
+    the system FFmpeg libraries), else cv2 / PyAV / ffmpeg-pipe. The
+    timestamp is parsed from the frame at its NATIVE resolution *before*
+    resizing — the reference does the same (mp_loader.py
+    load_to_queue_video), and 4K timestamp geometry never matches a resized
+    frame."""
 
     def __init__(
         self,
@@ -393,6 +405,10 @@ class VideoFrameSource(FrameSource):
     def _open(self):
         if self._backend == "y4m":
             self._y4m = _Y4MReader(self.path)
+        elif self._backend == "lav":
+            from playground3d_tpu.data.avdecode import AvReader
+
+            self._lav = AvReader(self.path)
         elif self._backend == "cv2":
             import cv2
 
@@ -420,6 +436,9 @@ class VideoFrameSource(FrameSource):
         """One decoded frame at NATIVE resolution, RGB uint8."""
         if self._backend == "y4m":
             return self._y4m.read()
+        if self._backend == "lav":
+            out = self._lav.read_rgb()
+            return None if out is None else out[0]
         if self._backend == "cv2":
             ok, frame = self._cap.read()
             if not ok:
@@ -472,12 +491,27 @@ class VideoFrameSource(FrameSource):
             t = self._parse_ts_rgb(strip)
         return self._fallback_ts(t)
 
+    def _planar_420(self) -> bool:
+        """True when the backend can serve raw 4:2:0 planes (the fused-tail
+        zero-float host path): the y4m reader, or the libav shim on a
+        YUV420P stream (H.264/HEVC/MPEG-4 recordings all decode to it)."""
+        if self._backend == "y4m":
+            return self._y4m.c.startswith("420")
+        return self._backend == "lav" and self._lav.is_yuv420
+
+    def _read_planes(self):
+        """(Y, U, V) uint8 planes at native size, or None at EOF."""
+        if self._backend == "y4m":
+            return self._y4m.read_planes()
+        out = self._lav.read_planes()
+        return None if out is None else out[:3]
+
     def _next_s2d_u8(self):
-        """Fused fast path: y4m planes -> (ts strip RGB for parsing) ->
+        """Fused fast path: 4:2:0 planes -> (ts strip RGB for parsing) ->
         uint8 s2d frame, no full-frame float math anywhere on the host."""
         from playground3d_tpu.data import native as N
 
-        planes = self._y4m.read_planes()
+        planes = self._read_planes()
         if planes is None:
             raise StopIteration
         Y, U, V = planes
@@ -508,7 +542,7 @@ class VideoFrameSource(FrameSource):
         shipped, native fp_plane_half) — color conversion still on-chip."""
         from playground3d_tpu.data import native as N
 
-        planes = self._y4m.read_planes()
+        planes = self._read_planes()
         if planes is None:
             raise StopIteration
         Y, U, V = planes
@@ -544,10 +578,17 @@ class VideoFrameSource(FrameSource):
 
     def __next__(self):
         if self.emit == "yuv420":
-            if self._backend != "y4m" or not self._y4m.c.startswith("420"):
-                raise RuntimeError("emit='yuv420' requires a 4:2:0 y4m source")
+            if not (self._backend in ("y4m", "lav") and self._planar_420()):
+                raise RuntimeError(
+                    "emit='yuv420' requires a 4:2:0 source (y4m or a "
+                    "libav-decoded YUV420P stream)"
+                )
             return self._next_yuv420()
-        if self.emit == "s2d_u8" and self._backend == "y4m" and self._y4m.c.startswith("420"):
+        if (
+            self.emit == "s2d_u8"
+            and self._backend in ("y4m", "lav")
+            and self._planar_420()
+        ):
             return self._next_s2d_u8()
         raw = self._read_raw()
         if raw is None:

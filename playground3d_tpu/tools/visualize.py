@@ -215,10 +215,11 @@ def frames_dir_to_video(
     frames_dir: str, out_path: str, fps: int = 30, subsample: bool = True
 ) -> int:
     """Assemble a directory of numbered PNG frames (what TrackOverlayWriter /
-    AsyncFrameWriter emit) into a first-party YUV4MPEG2 video — the
-    reference's ``im_to_vid`` overlay-to-video workflow
-    (minimal_3D_track.py:920-937, cv2.VideoWriter there) without any codec
-    dependency. Any player/ffmpeg consumes .y4m directly.
+    AsyncFrameWriter emit) into a video — the reference's ``im_to_vid``
+    overlay-to-video workflow (minimal_3D_track.py:920-937,
+    cv2.VideoWriter there). An ``.mp4`` out_path encodes real H.264/MPEG-4
+    through the first-party libav shim when available; any other extension
+    writes dependency-free YUV4MPEG2.
 
     Returns the number of frames written.
     """
@@ -234,6 +235,23 @@ def frames_dir_to_video(
         for n in names:
             f = read_png(os.path.join(frames_dir, n))
             yield f if f.dtype == np.uint8 else np.clip(f, 0, 255).astype(np.uint8)
+
+    if out_path.endswith(".mp4"):
+        from playground3d_tpu.data import avdecode
+
+        if not avdecode.available():
+            raise RuntimeError(
+                "mp4 export needs the libav shim (native/libavdecode.so); "
+                "use a .y4m out_path for the dependency-free writer"
+            )
+        it = frames()
+        first = next(it)
+        h, w = first.shape[:2]
+        with avdecode.AvWriter(out_path, w, h, fps=fps) as wtr:
+            wtr.add(first)
+            for f in it:
+                wtr.add(f)
+        return len(names)
 
     write_y4m(out_path, frames(), fps=fps, subsample=subsample)
     return len(names)
