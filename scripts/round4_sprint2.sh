@@ -1,0 +1,59 @@
+#!/bin/bash
+# Trimmed continuation of round4_sprint.sh: the 0.5 s/step training rate
+# makes 1200/700 steps bust the wall budget, so phase 1 resumes from the
+# 500-step detector sidecar and trains the crop net only 300 steps, keeping
+# the full 3 sequences x 2 seeds eval spread for the A/B.
+set -u
+cd /root/repo
+LOG=_outputs/sprint.log
+DEADLINE=${1:?deadline epoch}
+
+note() { echo "[$(date +%H:%M:%S)] $*" >>"$LOG"; }
+left() { echo $((DEADLINE - $(date +%s))); }
+run() {
+  need=$1; tmo=$2; tag=$3; shift 3
+  if [ "$(left)" -lt "$need" ]; then note "SKIP $tag (only $(left)s left, need $need)"; return 1; fi
+  note "START $tag: $*"
+  timeout "$tmo" "$@"
+  rc=$?
+  note "DONE  $tag rc=$rc"
+  return $rc
+}
+
+note "sprint2 start, deadline in $(left)s (trimmed: det 500 resume, crop 300)"
+BLOG=_outputs/bench_candidates.log
+
+run 300 1500 gate_d3 python -m playground3d_tpu.apps.demo_e2e_mc \
+  --steps 500 --crop-steps 300 --batch 4 --frames 120 \
+  --det-step 3 --cd-max 8 --quantize --approx-topk \
+  --sequences 3 --track-seeds 2 --resume \
+  --out-prefix _outputs/mc >_outputs/gate_d3.log 2>&1
+
+COMMON="--det-ckpt _outputs/mc_det.npz --crop-ckpt _outputs/mc_crop.npz \
+  --batch 4 --frames 120 --cd-max 8 --sequences 3 --track-seeds 2 --depth 18"
+
+run 240 1200 gate_d6_nudge python -m playground3d_tpu.apps.demo_e2e_mc $COMMON \
+  --det-step 6 --quantize --approx-topk --size-nudge \
+  --out-prefix _outputs/g6n >_outputs/gate_d6_nudge.log 2>&1
+
+echo "--- d6_nudge: BENCH_DET_STEP=6 BENCH_SIZE_NUDGE=1 ($(date))" >>"$BLOG"
+run 180 800 bench_d6n env BENCH_DET_STEP=6 BENCH_SIZE_NUDGE=1 \
+  BENCH_TPU_WAIT_SECS=60 BENCH_RUN_TIMEOUT=700 python bench.py >>"$BLOG" 2>&1
+
+python scripts/summarize_gate.py _outputs >_outputs/gate_summary.md 2>&1
+python scripts/ship_decision.py >_outputs/ship_decision.json 2>&1
+note "ship decision (pass 1) written"
+
+run 240 1000 gate_d6s2_nudge python -m playground3d_tpu.apps.demo_e2e_mc $COMMON \
+  --det-step 6 --skip-step 2 --quantize --approx-topk --size-nudge \
+  --out-prefix _outputs/g6s2 >_outputs/gate_d6s2_nudge.log 2>&1 \
+&& { echo "--- d6s2_nudge: BENCH_DET_STEP=6 BENCH_SKIP_STEP=2 BENCH_SIZE_NUDGE=1 ($(date))" >>"$BLOG"; \
+     run 180 700 bench_d6s2n env BENCH_DET_STEP=6 BENCH_SKIP_STEP=2 BENCH_SIZE_NUDGE=1 \
+       BENCH_TPU_WAIT_SECS=60 BENCH_RUN_TIMEOUT=600 python bench.py >>"$BLOG" 2>&1; }
+
+run 200 800 eval_ap python scripts/eval_ap.py --ckpt _outputs/mc_det.npz \
+  --frames 64 >_outputs/eval_ap.md 2>&1
+
+python scripts/summarize_gate.py _outputs >_outputs/gate_summary.md 2>&1
+python scripts/ship_decision.py >_outputs/ship_decision.json 2>&1
+note "sprint2 done with $(left)s to spare"
