@@ -996,6 +996,7 @@ class MultiCameraTracker:
             im = G.state_to_im_banked(
                 states, self.registry.P[c, 0], self.registry.P[c, 1]
             )
+            space = G.state_to_space(states)
             bias = list(np.round(self.ts_bias_log[k], 6)) if self.ts_bias_log else None
             for i in range(len(ids)):
                 out.append(

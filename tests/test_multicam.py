@@ -980,3 +980,32 @@ def test_track_clips_propagates_source_errors(toy_cameras3):
 
     with pytest.raises(RuntimeError, match="decoder died"):
         tracker.track_clips(sources(), clip_len=2)
+
+
+def test_records_and_csv_roundtrip(tmp_path, toy_cameras3, mc_scene):
+    """records()/write_results_csv over real tracked rows.
+
+    Regression: the round-4 banked-projection refactor dropped the
+    space-footprint source array from records(), which only the e2e apps
+    exercised (NameError on the first written row).
+    """
+    tracker, sources, holder, cameras = build_tracker(toy_cameras3, mc_scene)
+    it = [iter(s) for s in sources()]
+    for f in range(10):
+        holder["f"] = f
+        cur = [next(i) for i in it]
+        tracker.process(np.stack([c[0] for c in cur]), [c[1] for c in cur], f)
+
+    recs = tracker.records()
+    assert len(recs) > 0
+    for r in recs[:5]:
+        assert r.space_footprint.shape == (4, 2)
+        assert np.isfinite(r.space_footprint).all()
+        assert r.im_corners.shape == (8, 2)
+
+    path = str(tmp_path / "pred.csv")
+    tracker.write_results_csv(path)
+    from playground3d_tpu.evaluation.csv_io import load_i24_csv
+
+    _, by_frame = load_i24_csv(path)
+    assert sum(len(v) for v in by_frame.values()) == len(recs)
