@@ -40,6 +40,10 @@ import numpy as np
 METRIC = "detect_track_fps_1080p_resnet50"
 UNIT = "frames/sec/chip"
 BASELINE_FPS = 500.0  # BASELINE.json north star
+# Plausibility window for a single-chip 1080p detect+track fps sample.
+# Anything outside is a measurement artifact (tunnel jitter flipped the
+# tN-t1 difference negative in round 4), never a real result.
+FPS_SANE_LO, FPS_SANE_HI = 50.0, 2000.0
 
 # Shipped configuration: scripts/ship_decision.py writes bench_config.json
 # from the gate-certified results (quality SHIPPABLE + fastest measured fps)
@@ -146,8 +150,22 @@ def _run_guarded() -> None:
                 except (json.JSONDecodeError, ValueError):
                     continue
                 if isinstance(rec, dict) and rec.get("metric") == METRIC:
-                    print(line)
-                    return
+                    # Round 4's official record was -403.93 fps: tunnel
+                    # jitter made the (tN-t1) difference negative and this
+                    # guard accepted it. A record is a RESULT only if it is
+                    # physically plausible; anything else is a failed
+                    # attempt and we retry.
+                    try:
+                        v = float(rec.get("value", 0.0))
+                    except (TypeError, ValueError):
+                        v = 0.0
+                    if "error" not in rec and FPS_SANE_LO <= v <= FPS_SANE_HI:
+                        print(line)
+                        return
+                    sys.stderr.write(
+                        f"bench: rejecting implausible record {line.strip()}\n"
+                    )
+                    break
         if r is not None and r.stderr:
             sys.stderr.write(r.stderr[-4000:])
         if attempts >= 3 or time.time() >= deadline:
@@ -345,15 +363,32 @@ def main() -> None:
     loop1, loopN = make_loop(1), make_loop(N_ITERS)
     float(loop1(state0, bias0, frames, base_times))  # compile + warm
     float(loopN(state0, bias0, frames, base_times))
-    t0 = time.time()
-    float(loop1(state0, bias0, frames, base_times))
-    t1 = time.time() - t0
-    t0 = time.time()
-    float(loopN(state0, bias0, frames, base_times))
-    tN = time.time() - t0
 
-    per_clip = (tN - t1) / (N_ITERS - 1)
-    fps = T_CLIP / per_clip
+    # Round-4 postmortem: a single (tN - t1) difference is one tunnel
+    # hiccup away from garbage (the official r04 record was -403.93 fps).
+    # Take k paired samples, difference each pair, keep only physically
+    # plausible per-clip times, and report the MEDIAN. Interleaving the
+    # 1-iter and N-iter runs within each sample keeps the pair exposed to
+    # the same network conditions, so their difference cancels round-trip
+    # overhead under drift too.
+    k = int(os.environ.get("BENCH_REPEATS", "5"))
+    samples = []
+    for _ in range(2 * k):  # allow up to k rejections before giving up
+        t0 = time.time()
+        float(loop1(state0, bias0, frames, base_times))
+        t1 = time.time() - t0
+        t0 = time.time()
+        float(loopN(state0, bias0, frames, base_times))
+        tN = time.time() - t0
+        per_clip = (tN - t1) / (N_ITERS - 1)
+        if per_clip > 0 and FPS_SANE_LO <= T_CLIP / per_clip <= FPS_SANE_HI:
+            samples.append(per_clip)
+        if len(samples) >= k:
+            break
+    if not samples:
+        _fail_record("no_plausible_sample: all timing pairs rejected")
+        return
+    fps = T_CLIP / float(np.median(samples))
     print(
         json.dumps(
             {

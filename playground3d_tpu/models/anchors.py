@@ -25,17 +25,20 @@ NUM_ANCHORS = len(RATIOS) * len(SCALES)  # 9
 
 
 def base_anchors(base_size: float) -> np.ndarray:
-    """[9,4] xyxy anchors centered at the origin
-    (reference anchors.py:42-73 ``generate_anchors``)."""
-    n = NUM_ANCHORS
-    anchors = np.zeros((n, 4))
-    anchors[:, 2:] = base_size * np.tile(SCALES, (2, len(RATIOS))).T
-    areas = anchors[:, 2] * anchors[:, 3]
-    anchors[:, 2] = np.sqrt(areas / np.repeat(RATIOS, len(SCALES)))
-    anchors[:, 3] = anchors[:, 2] * np.repeat(RATIOS, len(SCALES))
-    anchors[:, 0::2] -= np.tile(anchors[:, 2] * 0.5, (2, 1)).T
-    anchors[:, 1::2] -= np.tile(anchors[:, 3] * 0.5, (2, 1)).T
-    return anchors
+    """[9,4] xyxy anchors centered at the origin.
+
+    Each (ratio r, scale s) pair is the box of area ``(base_size*s)**2``
+    with aspect h/w = r, so ``w = base_size*s/sqrt(r)`` and ``h = w*r``.
+    Rows are ratio-major, scale-minor — the order the head channels assume
+    (same layout as reference anchors.py:42-73 ``generate_anchors``, which
+    derives the identical boxes via in-place area renormalization).
+    """
+    r = np.repeat(RATIOS, len(SCALES))  # [9] ratio-major
+    s = np.tile(SCALES, len(RATIOS))  # [9] scale-minor
+    w = base_size * s / np.sqrt(r)
+    h = w * r
+    half = 0.5 * np.stack([w, h, w, h], axis=1)
+    return half * np.array([-1.0, -1.0, 1.0, 1.0])
 
 
 def level_shape(image_shape: Tuple[int, int], level: int) -> Tuple[int, int]:

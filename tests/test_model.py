@@ -49,6 +49,34 @@ def test_anchor_reference_values():
     np.testing.assert_allclose((a[0] + a[2]) / 2, 4.0, atol=1e-4)
 
 
+def test_base_anchors_full_table():
+    """Full 9x4 value parity with the reference's generate_anchors output.
+
+    Constants below were produced by the reference tile/repeat/area
+    renormalization recipe (anchors.py:42-73) for base_size=32 — the
+    idiomatic w = base*s/sqrt(r), h = w*r rewrite must reproduce them
+    exactly (ratio-major, scale-minor row order)."""
+    from playground3d_tpu.models.anchors import base_anchors
+
+    want = np.array(
+        [
+            # ratio 0.5: w = 32*s*sqrt(2), h = w/2
+            [-22.627417, -11.3137085, 22.627417, 11.3137085],
+            [-28.50876, -14.25438, 28.50876, 14.25438],
+            [-35.91878, -17.95939, 35.91878, 17.95939],
+            # ratio 1.0: w = h = 32*s
+            [-16.0, -16.0, 16.0, 16.0],
+            [-20.158737, -20.158737, 20.158737, 20.158737],
+            [-25.398417, -25.398417, 25.398417, 25.398417],
+            # ratio 2.0: w = 32*s/sqrt(2), h = 2w
+            [-11.3137085, -22.627417, 11.3137085, 22.627417],
+            [-14.25438, -28.50876, 14.25438, 28.50876],
+            [-17.95939, -35.91878, 17.95939, 35.91878],
+        ]
+    )
+    np.testing.assert_allclose(base_anchors(32.0), want, rtol=1e-6)
+
+
 def test_decode_matches_numpy(rng):
     A = 16
     anchors = rng.uniform(0, 100, (A, 4)).astype(np.float32)
