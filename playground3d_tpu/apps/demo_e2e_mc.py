@@ -270,6 +270,14 @@ def main(argv=None):
         crop_params = quantize_detector(crop_params, crop_calib, args.depth, stem="conv7")
         log("both networks quantized to int8 (PTQ)")
 
+    # train-only stage (resumable gate chain, VERDICT r4 weak #6): with
+    # --sequences 0 the run ends after training/quantization, so a timeout
+    # costs at most the last 500-step checkpoint interval — tracking runs
+    # separately from --det-ckpt/--crop-ckpt.
+    if args.sequences <= 0 or args.track_seeds <= 0:
+        log("train-only run complete (no tracking requested)")
+        return None
+
     # 3. multi-camera tracking with both trained networks
     from playground3d_tpu.data.synthetic import SyntheticScene, render_frame
     from playground3d_tpu.evaluation import geometry_np as G
