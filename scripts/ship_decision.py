@@ -44,15 +44,24 @@ _spec.loader.exec_module(summarize_gate)
 SHIP_TOL = 0.02
 
 # perf candidates, in clip-algebra speed order (fastest first) as the
-# fallback ranking when a measured fps is missing. Quality-only knobs
-# (crop_conf_gate, ghost re-id) are reported but never auto-shipped.
+# fallback ranking when a measured fps is missing. crop_conf_gate is
+# fps-neutral by construction (same program shape) but changes quality, so
+# the _gate variants are distinct SHIP candidates with their own gate logs;
+# ghost re-id stays report-only.
 PERF_CANDIDATES = [
+    ("d6s2_nudge_gate", {"BENCH_DET_STEP": "6", "BENCH_SKIP_STEP": "2",
+                         "BENCH_SIZE_NUDGE": "1", "BENCH_CROP_CONF_GATE": "1"}),
     ("d6s2_nudge", {"BENCH_DET_STEP": "6", "BENCH_SKIP_STEP": "2",
                     "BENCH_SIZE_NUDGE": "1"}),
+    ("d6_nudge_gate_slots16", {"BENCH_DET_STEP": "6", "BENCH_SIZE_NUDGE": "1",
+                               "BENCH_CROP_CONF_GATE": "1",
+                               "BENCH_CROP_SLOTS": "16"}),
     ("d6_nudge_slots16", {"BENCH_DET_STEP": "6", "BENCH_SIZE_NUDGE": "1",
                           "BENCH_CROP_SLOTS": "16"}),
     ("d6_nudge_slots24", {"BENCH_DET_STEP": "6", "BENCH_SIZE_NUDGE": "1",
                           "BENCH_CROP_SLOTS": "24"}),
+    ("d6_nudge_gate", {"BENCH_DET_STEP": "6", "BENCH_SIZE_NUDGE": "1",
+                       "BENCH_CROP_CONF_GATE": "1"}),
     ("d6_nudge", {"BENCH_DET_STEP": "6", "BENCH_SIZE_NUDGE": "1"}),
     ("d6", {"BENCH_DET_STEP": "6"}),
     ("d3_slots16", {"BENCH_CROP_SLOTS": "16"}),
@@ -185,21 +194,24 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     cfg, report, msg = decide(args.outdir)
+    # ONE JSON object on stdout (ADVICE r4: the old report-then-plain-text
+    # output made `ship_decision.py > x.json` an invalid JSON file)
+    report["decision"] = msg
+    report["shipped"] = cfg
     print(json.dumps(report, indent=2))
-    print(f"decision: {msg}")
     if cfg is None:
         return 0
     path = os.path.join(REPO, "bench_config.json")
     old = open(path).read() if os.path.exists(path) else None
     new = json.dumps(cfg, indent=2) + "\n"
     if old == new:
-        print("bench_config.json unchanged")
+        print("bench_config.json unchanged", file=sys.stderr)
         return 0
     tmp = path + f".tmp-{os.getpid()}"
     with open(tmp, "w") as fh:
         fh.write(new)
     os.replace(tmp, path)
-    print(f"wrote {path}")
+    print(f"wrote {path}", file=sys.stderr)
     if args.commit:
         subprocess.run(["git", "-C", REPO, "add", "bench_config.json"], check=True)
         r = subprocess.run(
@@ -210,7 +222,7 @@ def main(argv=None):
              f"{cfg['quality_gate']['sem']:.3f}, tol {SHIP_TOL}); {cfg['basis']}. "
              "bench.py reads bench_config.json as its default knobs."],
         )
-        print(f"commit rc={r.returncode}")
+        print(f"commit rc={r.returncode}", file=sys.stderr)
     return 0
 
 
