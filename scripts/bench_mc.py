@@ -13,7 +13,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(C=4, det_step=3):
+def main(C=4, det_step=3, max_tracks=64, crop_slots=32):
     import jax
     import jax.numpy as jnp
 
@@ -54,8 +54,9 @@ def main(C=4, det_step=3):
         centers.append([565.0 + shift, 60.0])
 
     cfg = TrackerConfig(
-        max_tracks=64, max_dets=48, pre_topk=1024, x_range=(300.0, 800.0 + 200.0 * C),
-        det_step=det_step, skip_step=1, crop_slots=32, cd_max=16, cs=112,
+        max_tracks=max_tracks, max_dets=max(48, 3 * max_tracks // 4),
+        pre_topk=1024, x_range=(300.0, 800.0 + 200.0 * C),
+        det_step=det_step, skip_step=1, crop_slots=crop_slots, cd_max=16, cs=112,
         estimate_ts_bias=False, approx_topk=True,
     )
     kfp = default_params()
@@ -111,9 +112,22 @@ def main(C=4, det_step=3):
     loop1, loopN = make_loop(1), make_loop(N_ITERS)
     float(loop1(state0, bias0, frames, base_times))
     float(loopN(state0, bias0, frames, base_times))
-    t0 = time.time(); float(loop1(state0, bias0, frames, base_times)); t1 = time.time() - t0
-    t0 = time.time(); float(loopN(state0, bias0, frames, base_times)); tN = time.time() - t0
-    per_clip = (tN - t1) / (N_ITERS - 1)
+    # median of k interleaved (loop1, loopN) pairs with a plausibility
+    # window — same tunnel-jitter robustness as bench.py (round-4
+    # postmortem: one hiccup flips a single tN-t1 difference negative)
+    samples = []
+    for _ in range(10):
+        t0 = time.time(); float(loop1(state0, bias0, frames, base_times)); t1 = time.time() - t0
+        t0 = time.time(); float(loopN(state0, bias0, frames, base_times)); tN = time.time() - t0
+        per_clip = (tN - t1) / (N_ITERS - 1)
+        if per_clip > 0 and 2.0 <= T_CLIP / per_clip <= 5000.0:
+            samples.append(per_clip)
+        if len(samples) >= 5:
+            break
+    if not samples:
+        print(f"MC C={C} d={det_step}: no plausible timing sample")
+        return
+    per_clip = float(np.median(samples))
     fps = T_CLIP / per_clip
     print(
         f"MC C={C} d={det_step}: {fps:.1f} multi-cam frames/s "
@@ -127,5 +141,9 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--cameras", type=int, default=4)
     p.add_argument("--det-step", type=int, default=3)
+    p.add_argument("--max-tracks", type=int, default=64,
+                   help="track pool capacity (scale with C for the "
+                   "18-camera deployment shape, MC3D:1489-1509)")
+    p.add_argument("--crop-slots", type=int, default=32)
     a = p.parse_args()
-    main(a.cameras, a.det_step)
+    main(a.cameras, a.det_step, a.max_tracks, a.crop_slots)
