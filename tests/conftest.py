@@ -24,6 +24,33 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: takes >~10s on the 1-core dev box; excluded by the fast "
+        "selection `pytest -m 'not slow'` (full suite stays the green gate)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Data-driven slow marking: tests/slow_tests.txt lists node ids measured
+    >~10s on this box (regenerate with `pytest --durations=0` and
+    scripts/update_slow_list.py). Keeping the list in a file instead of
+    scattering decorators makes it trivially regenerable after perf work."""
+    path = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    try:
+        with open(path) as fh:
+            slow = {
+                line.strip() for line in fh
+                if line.strip() and not line.startswith("#")
+            }
+    except OSError:
+        return
+    for item in items:
+        if item.nodeid in slow or item.nodeid.split("::")[0] in slow:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
