@@ -91,21 +91,15 @@ def gate_verdicts(outdir: str):
     if base is None:
         return {}, None
     b_mu, b_sd = base["stats"]["MOTA"]
-    b_n = max(base["n"], 1)
     out = {}
     for tag, p in parsed.items():
         if tag == "d3":
             continue
-        mu, sd = p["stats"]["MOTA"]
-        n = max(p["n"], 1)
-        delta = mu - b_mu
-        sem = (b_sd ** 2 / b_n + sd ** 2 / n) ** 0.5
-        if delta - sem >= -SHIP_TOL:
-            verdict = "SHIPPABLE"
-        elif delta >= -SHIP_TOL:
-            verdict = "MARGINAL"
-        else:
-            verdict = "blocked"
+        # paired per-scene comparison when run keys align (the gates run
+        # fixed scene/render seeds for exactly this), unpaired fallback
+        verdict, delta, sem, _paired = summarize_gate.verdict_vs_base(
+            base, p, SHIP_TOL
+        )
         out[tag] = (verdict, delta, sem)
     return out, (b_mu, b_sd)
 

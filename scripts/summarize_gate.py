@@ -46,6 +46,41 @@ def parse_log(path):
     return {"n": int(n_runs), "cfg": " ".join(cfg.split()), "stats": stats, "runs": runs}
 
 
+def verdict_vs_base(base, cand, tol=0.02):
+    """(verdict, dMOTA, sem, paired) for a candidate gate vs the baseline.
+
+    Gate runs use FIXED (scene seed, render seed) pairs precisely so A/B
+    runs are comparable; when the candidate ran the same pairs, the paired
+    per-scene MOTA differences isolate the cadence effect from scene
+    difficulty (seed 47 is simply a harder scene than seed 99 — unpaired,
+    that scene spread lands in the sem and drowns the signal). Falls back
+    to the unpaired mean/sem comparison when the run keys do not align.
+    """
+    b_runs = {(ss, rs): float(mota) for ss, rs, _, _, mota, _ in base["runs"][-base["n"]:]}
+    c_runs = {(ss, rs): float(mota) for ss, rs, _, _, mota, _ in cand["runs"][-cand["n"]:]}
+    common = sorted(set(b_runs) & set(c_runs))
+    if len(common) >= 3 and len(common) == len(b_runs) == len(c_runs):
+        diffs = [c_runs[k] - b_runs[k] for k in common]
+        n = len(diffs)
+        delta = sum(diffs) / n
+        var = sum((d - delta) ** 2 for d in diffs) / n
+        sem = (var / n) ** 0.5
+        paired = True
+    else:
+        b_mu, b_sd = base["stats"]["MOTA"]
+        mu, sd = cand["stats"]["MOTA"]
+        delta = mu - b_mu
+        sem = (b_sd ** 2 / max(base["n"], 1) + sd ** 2 / max(cand["n"], 1)) ** 0.5
+        paired = False
+    if delta - sem >= -tol:
+        verdict = "SHIPPABLE"
+    elif delta >= -tol:
+        verdict = "MARGINAL"
+    else:
+        verdict = "blocked"
+    return verdict, delta, sem, paired
+
+
 def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "_outputs"
     rows = []
@@ -89,23 +124,15 @@ def main():
     if base is None or "MOTA" not in base["stats"]:
         return
     b_mu, b_sd = base["stats"]["MOTA"]
-    b_n = max(base["n"], 1)
     print(f"\nShip decision vs d3 baseline (MOTA {b_mu:.3f} ± {b_sd:.3f}, tol {SHIP_TOL}):")
     for tag, parsed in rows:
         if tag == "d3" or "MOTA" not in parsed["stats"]:
             continue
-        mu, sd = parsed["stats"]["MOTA"]
-        n = max(parsed["n"], 1)
-        delta = mu - b_mu
-        # standard error of the difference of the two run-means
-        sem = (b_sd**2 / b_n + sd**2 / n) ** 0.5
-        if delta - sem >= -SHIP_TOL:
-            verdict = "SHIPPABLE"
-        elif delta >= -SHIP_TOL:
+        verdict, delta, sem, paired = verdict_vs_base(base, parsed, SHIP_TOL)
+        if verdict == "MARGINAL":
             verdict = "MARGINAL (within tol but not beyond noise; add runs)"
-        else:
-            verdict = "blocked"
-        print(f"  {tag:>18}: dMOTA {delta:+.3f} (sem {sem:.3f}) -> {verdict}")
+        kind = "paired" if paired else "unpaired"
+        print(f"  {tag:>22}: dMOTA {delta:+.3f} ({kind} sem {sem:.3f}) -> {verdict}")
 
 
 if __name__ == "__main__":

@@ -76,6 +76,26 @@ def test_picks_fastest_shippable(tmp_path):
     assert cfg["quality_gate"]["verdict"] == "SHIPPABLE"
 
 
+def test_paired_verdict_isolates_scene_difficulty(tmp_path):
+    """High scene-to-scene MOTA spread with a tiny uniform candidate delta:
+    unpaired sem (~0.18) would drown the comparison to MARGINAL, but the
+    gates run fixed scene/render seeds, so the paired per-scene differences
+    (uniformly -0.01) certify SHIPPABLE."""
+    out = str(tmp_path)
+    # hard scene 0.35, medium 0.62, easy 0.87 — like the real d3 gate
+    base_runs = [(0.9, 0.9, 0.87, 0), (0.9, 0.9, 0.62, 1), (0.8, 0.8, 0.35, 3)]
+    cand_runs = [(0.9, 0.9, 0.86, 0), (0.9, 0.9, 0.61, 1), (0.8, 0.8, 0.34, 3)]
+    _gate_log(os.path.join(out, "gate_d3.log"), "d=3, s=1", base_runs)
+    _gate_log(os.path.join(out, "gate_d6_nudge.log"), "d=6, s=1", cand_runs)
+    _bench_log(os.path.join(out, "bench_candidates.log"),
+               [("d3_shipped", 386.0), ("d6_nudge", 508.0)])
+    cfg, report, msg = ship.decide(out)
+    assert report["verdicts"]["d6_nudge"]["verdict"] == "SHIPPABLE"
+    assert abs(report["verdicts"]["d6_nudge"]["dMOTA"] + 0.01) < 1e-6
+    assert report["verdicts"]["d6_nudge"]["sem"] < 0.005  # paired, not 0.2
+    assert cfg is not None and cfg["tag"] == "d6_nudge"
+
+
 def test_no_shippable_keeps_d3(tmp_path):
     out = str(tmp_path)
     _gate_log(os.path.join(out, "gate_d3.log"), "d=3",
