@@ -258,6 +258,11 @@ def main() -> None:
     # reference updates unconditionally) — fps-neutral by construction
     # (same program shape), measured for completeness
     CROP_CONF_GATE = _knob("BENCH_CROP_CONF_GATE", "0") == "1"
+    # failed re-detection attempts before track death (reference f_max=5).
+    # At d>=6 the reference default kills a track whose crops miss within
+    # ONE detection gap; the d>=6 ship candidates raise it to ~2 gaps.
+    # Threshold compare only — program shape (and fps) unchanged.
+    F_MAX = int(_knob("BENCH_F_MAX", "5"))
     # live slots cropped per crop frame (stale-first priority). The crop
     # step's cost scales with this pool, and at d>=6 crop frames dominate
     # the clip (5 of every 6), so 16 vs 32 is a first-order fps lever for
@@ -296,6 +301,7 @@ def main() -> None:
     cfg = TrackerConfig(
         max_tracks=MAX_TRACKS, max_dets=MAX_DETS, pre_topk=PRE_TOPK, x_range=(300.0, 800.0),
         det_step=DET_STEP, skip_step=SKIP_STEP, crop_slots=CROP_SLOTS, cd_max=CD_MAX, cs=112,
+        f_max=F_MAX,
         estimate_ts_bias=TS_BIAS, approx_topk=APPROX_TOPK, det_min_level=MIN_LEVEL,
         size_nudge=SIZE_NUDGE, crop_conf_gate=CROP_CONF_GATE,
         ghost_frames=GHOST_FRAMES,

@@ -133,6 +133,13 @@ def main(argv=None):
         "toward noise boxes — a d>=6 quality candidate)",
     )
     ap.add_argument(
+        "--f-max", type=int, default=5,
+        help="failed re-detection attempts before track death (reference "
+        "f_max=5, MC3D:69). At d>=6 the default kills a track whose crops "
+        "miss within ONE detection gap — the next full-frame detection "
+        "never gets to rescue it — so d>=6 gates sweep this",
+    )
+    ap.add_argument(
         "--crop-slots", type=int, default=0,
         help="live slots cropped per crop frame, oldest first (0 = all); "
         "the crop step's cost scales with this pool and at d>=6 crop "
@@ -295,7 +302,7 @@ def main(argv=None):
 
     tcfg = TrackerConfig(
         max_tracks=32, max_dets=48, pre_topk=args.pre_topk, x_range=(lo - 30, hi + 30),
-        f_init=2, sigma_d=0.25, sigma_c=0.2, det_step=args.det_step,
+        f_init=2, sigma_d=0.25, sigma_c=0.2, f_max=args.f_max, det_step=args.det_step,
         skip_step=args.skip_step, cd_max=args.cd_max, crop_slots=args.crop_slots,
         **({} if args.w_conf is None else {"w_conf": args.w_conf}),
         estimate_ts_bias=False, merge_dist_ft=12.0, approx_topk=args.approx_topk,

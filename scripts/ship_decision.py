@@ -60,10 +60,16 @@ PERF_CANDIDATES = [
                           "BENCH_CROP_SLOTS": "16"}),
     ("d6_nudge_slots24", {"BENCH_DET_STEP": "6", "BENCH_SIZE_NUDGE": "1",
                           "BENCH_CROP_SLOTS": "24"}),
+    ("d6_nudge_gate_fmax12", {"BENCH_DET_STEP": "6", "BENCH_SIZE_NUDGE": "1",
+                              "BENCH_CROP_CONF_GATE": "1", "BENCH_F_MAX": "12"}),
     ("d6_nudge_gate", {"BENCH_DET_STEP": "6", "BENCH_SIZE_NUDGE": "1",
                        "BENCH_CROP_CONF_GATE": "1"}),
     ("d6_nudge", {"BENCH_DET_STEP": "6", "BENCH_SIZE_NUDGE": "1"}),
     ("d6", {"BENCH_DET_STEP": "6"}),
+    ("d5_nudge_gate_fmax10", {"BENCH_DET_STEP": "5", "BENCH_SIZE_NUDGE": "1",
+                              "BENCH_CROP_CONF_GATE": "1", "BENCH_F_MAX": "10"}),
+    ("d4_nudge_gate_fmax8", {"BENCH_DET_STEP": "4", "BENCH_SIZE_NUDGE": "1",
+                             "BENCH_CROP_CONF_GATE": "1", "BENCH_F_MAX": "8"}),
     ("d3_slots16", {"BENCH_CROP_SLOTS": "16"}),
     ("d3_slots24", {"BENCH_CROP_SLOTS": "24"}),
 ]
