@@ -49,6 +49,18 @@ SHIP_TOL = 0.02
 # the _gate variants are distinct SHIP candidates with their own gate logs;
 # ghost re-id stays report-only.
 PERF_CANDIDATES = [
+    ("d8s2_nudge_gate_fmax12", {"BENCH_DET_STEP": "8", "BENCH_SKIP_STEP": "2",
+                                "BENCH_SIZE_NUDGE": "1",
+                                "BENCH_CROP_CONF_GATE": "1",
+                                "BENCH_F_MAX": "12"}),
+    ("d6s3_nudge_gate_fmax12", {"BENCH_DET_STEP": "6", "BENCH_SKIP_STEP": "3",
+                                "BENCH_SIZE_NUDGE": "1",
+                                "BENCH_CROP_CONF_GATE": "1",
+                                "BENCH_F_MAX": "12"}),
+    ("d6s2_nudge_gate_fmax12", {"BENCH_DET_STEP": "6", "BENCH_SKIP_STEP": "2",
+                                "BENCH_SIZE_NUDGE": "1",
+                                "BENCH_CROP_CONF_GATE": "1",
+                                "BENCH_F_MAX": "12"}),
     ("d6s2_nudge_gate", {"BENCH_DET_STEP": "6", "BENCH_SKIP_STEP": "2",
                          "BENCH_SIZE_NUDGE": "1", "BENCH_CROP_CONF_GATE": "1"}),
     ("d6s2_nudge", {"BENCH_DET_STEP": "6", "BENCH_SKIP_STEP": "2",
