@@ -263,6 +263,10 @@ def main() -> None:
     # ONE detection gap; the d>=6 ship candidates raise it to ~2 gaps.
     # Threshold compare only — program shape (and fps) unchanged.
     F_MAX = int(_knob("BENCH_F_MAX", "5"))
+    # crop measurement noise scale on the l,w,h components (KFParams.R2);
+    # >1 de-weights crop-derived sizes (the low-information part of the
+    # crop measurement). Constant fold only — program shape unchanged.
+    CROP_R2_SIZE = float(_knob("BENCH_CROP_R2_SIZE", "1"))
     # live slots cropped per crop frame (stale-first priority). The crop
     # step's cost scales with this pool, and at d>=6 crop frames dominate
     # the clip (5 of every 6), so 16 vs 32 is a first-order fps lever for
@@ -307,6 +311,10 @@ def main() -> None:
         ghost_frames=GHOST_FRAMES,
     )
     kfp = default_params()
+    if CROP_R2_SIZE != 1.0:
+        r2 = np.asarray(kfp.R2).copy()
+        r2[2:, 2:] *= CROP_R2_SIZE
+        kfp = kfp._replace(R2=jnp.asarray(r2))
     bank = bank_from_registry(reg)
     centers = jnp.asarray(np.array([[565.0, 60.0]], np.float32))
     det_params = retinanet_init(

@@ -133,6 +133,16 @@ def main(argv=None):
         "toward noise boxes — a d>=6 quality candidate)",
     )
     ap.add_argument(
+        "--crop-r2-size", type=float, default=1.0,
+        help="scale the crop measurement noise (R2) on the l,w,h "
+        "components. Crop-derived sizes are the low-information part of "
+        "the measurement (small FOV, class-prior heights), and with R2=I "
+        "they are re-trusted every crop frame; >1 de-weights them so "
+        "position stays corrected while sizes ride detections + the class "
+        "nudge (the reference FIT R2 from data, fit_filter_3D.py:306-392, "
+        "which discovers exactly this anisotropy)",
+    )
+    ap.add_argument(
         "--f-max", type=int, default=5,
         help="failed re-detection attempts before track death (reference "
         "f_max=5, MC3D:69). At d>=6 the default kills a track whose crops "
@@ -291,6 +301,7 @@ def main(argv=None):
     from playground3d_tpu.evaluation.csv_io import TrackRecord, write_results_csv
     from playground3d_tpu.evaluation.mot import MOTEvaluator
     from playground3d_tpu.pipeline.multi_cam import MultiCameraTracker
+    from playground3d_tpu.track.kf import default_params
     from playground3d_tpu.utils.config import TrackerConfig
     from playground3d_tpu.utils.constants import CLASS_NAMES
 
@@ -315,8 +326,16 @@ def main(argv=None):
         scene = SyntheticScene(
             n_objects=10, seed=scene_seed, x_spawn=(lo + 20, hi - 20), x_visible=(lo, hi)
         )
+        kfp = default_params()
+        if args.crop_r2_size != 1.0:
+            import jax.numpy as jnp
+
+            r2 = np.asarray(kfp.R2).copy()
+            r2[2:, 2:] *= args.crop_r2_size
+            kfp = kfp._replace(R2=jnp.asarray(r2))
         tracker = MultiCameraTracker(
-            reg, cameras, cfg=tcfg, det_params=det_params, crop_params=crop_params,
+            reg, cameras, cfg=tcfg, kf_params=kfp,
+            det_params=det_params, crop_params=crop_params,
             depth=args.depth, centers=centers, stem="s2d",
         )
         # frames ship as uint8 (tracker packs + normalizes on device): 4x

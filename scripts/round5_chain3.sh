@@ -35,6 +35,7 @@ gate() {
 }
 
 gate d6s2_nudge_gate_fmax12 g6s2f12 --det-step 6 --skip-step 2 --size-nudge --crop-conf-gate --f-max 12
+gate d6s2_nudge_gate_r2s25 g6s2r25 --det-step 6 --skip-step 2 --size-nudge --crop-conf-gate --crop-r2-size 25
 gate d6s3_nudge_gate_fmax12 g6s3f12 --det-step 6 --skip-step 3 --size-nudge --crop-conf-gate --f-max 12
 gate d8s2_nudge_gate_fmax12 g8s2f12 --det-step 8 --skip-step 2 --size-nudge --crop-conf-gate --f-max 12
 
@@ -43,6 +44,7 @@ python scripts/summarize_gate.py _outputs >_outputs/gate_summary.md 2>&1 || true
 BLOG=_outputs/bench_candidates.log
 echo "=== round-5 chain3 bench candidates ($(date)) ===" >>"$BLOG"
 bench_candidate d6s2_nudge_gate_fmax12 "$BLOG" BENCH_DET_STEP=6 BENCH_SKIP_STEP=2 BENCH_SIZE_NUDGE=1 BENCH_CROP_CONF_GATE=1 BENCH_F_MAX=12
+bench_candidate d6s2_nudge_gate_r2s25 "$BLOG" BENCH_DET_STEP=6 BENCH_SKIP_STEP=2 BENCH_SIZE_NUDGE=1 BENCH_CROP_CONF_GATE=1 BENCH_CROP_R2_SIZE=25
 bench_candidate d6s3_nudge_gate_fmax12 "$BLOG" BENCH_DET_STEP=6 BENCH_SKIP_STEP=3 BENCH_SIZE_NUDGE=1 BENCH_CROP_CONF_GATE=1 BENCH_F_MAX=12
 bench_candidate d8s2_nudge_gate_fmax12 "$BLOG" BENCH_DET_STEP=8 BENCH_SKIP_STEP=2 BENCH_SIZE_NUDGE=1 BENCH_CROP_CONF_GATE=1 BENCH_F_MAX=12
 

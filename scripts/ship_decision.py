@@ -61,6 +61,10 @@ PERF_CANDIDATES = [
                                 "BENCH_SIZE_NUDGE": "1",
                                 "BENCH_CROP_CONF_GATE": "1",
                                 "BENCH_F_MAX": "12"}),
+    ("d6s2_nudge_gate_r2s25", {"BENCH_DET_STEP": "6", "BENCH_SKIP_STEP": "2",
+                               "BENCH_SIZE_NUDGE": "1",
+                               "BENCH_CROP_CONF_GATE": "1",
+                               "BENCH_CROP_R2_SIZE": "25"}),
     ("d6s2_nudge_gate", {"BENCH_DET_STEP": "6", "BENCH_SKIP_STEP": "2",
                          "BENCH_SIZE_NUDGE": "1", "BENCH_CROP_CONF_GATE": "1"}),
     ("d6s2_nudge", {"BENCH_DET_STEP": "6", "BENCH_SKIP_STEP": "2",
