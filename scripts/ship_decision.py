@@ -49,6 +49,18 @@ SHIP_TOL = 0.02
 # the _gate variants are distinct SHIP candidates with their own gate logs;
 # ghost re-id stays report-only.
 PERF_CANDIDATES = [
+    ("d6s3_nudge_gate_fmax12_r2s25", {"BENCH_DET_STEP": "6",
+                                      "BENCH_SKIP_STEP": "3",
+                                      "BENCH_SIZE_NUDGE": "1",
+                                      "BENCH_CROP_CONF_GATE": "1",
+                                      "BENCH_F_MAX": "12",
+                                      "BENCH_CROP_R2_SIZE": "25"}),
+    ("d8s2_nudge_gate_fmax12_r2s25", {"BENCH_DET_STEP": "8",
+                                      "BENCH_SKIP_STEP": "2",
+                                      "BENCH_SIZE_NUDGE": "1",
+                                      "BENCH_CROP_CONF_GATE": "1",
+                                      "BENCH_F_MAX": "12",
+                                      "BENCH_CROP_R2_SIZE": "25"}),
     ("d8s2_nudge_gate_fmax12", {"BENCH_DET_STEP": "8", "BENCH_SKIP_STEP": "2",
                                 "BENCH_SIZE_NUDGE": "1",
                                 "BENCH_CROP_CONF_GATE": "1",
