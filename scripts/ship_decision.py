@@ -81,6 +81,10 @@ PERF_CANDIDATES = [
                          "BENCH_SIZE_NUDGE": "1", "BENCH_CROP_CONF_GATE": "1"}),
     ("d6s2_nudge", {"BENCH_DET_STEP": "6", "BENCH_SKIP_STEP": "2",
                     "BENCH_SIZE_NUDGE": "1"}),
+    ("d5s2_nudge_gate", {"BENCH_DET_STEP": "5", "BENCH_SKIP_STEP": "2",
+                         "BENCH_SIZE_NUDGE": "1", "BENCH_CROP_CONF_GATE": "1"}),
+    ("d4s2_nudge_gate", {"BENCH_DET_STEP": "4", "BENCH_SKIP_STEP": "2",
+                         "BENCH_SIZE_NUDGE": "1", "BENCH_CROP_CONF_GATE": "1"}),
     ("d6_nudge_gate_slots16", {"BENCH_DET_STEP": "6", "BENCH_SIZE_NUDGE": "1",
                                "BENCH_CROP_CONF_GATE": "1",
                                "BENCH_CROP_SLOTS": "16"}),
