@@ -263,6 +263,11 @@ def main() -> None:
     # ONE detection gap; the d>=6 ship candidates raise it to ~2 gaps.
     # Threshold compare only — program shape (and fps) unchanged.
     F_MAX = int(_knob("BENCH_F_MAX", "5"))
+    # output burn-in: report a track only once age > f_init (reference
+    # "frames before permanent"). Output-mask compare only — fps-neutral.
+    # The d>=4/s=2 candidates raise it so junk tracks that survive a
+    # detection gap never reach the output CSV.
+    F_INIT = int(_knob("BENCH_F_INIT", "5"))  # 5 = TrackerConfig default (what every prior bench ran)
     # crop measurement noise scale on the l,w,h components (KFParams.R2);
     # >1 de-weights crop-derived sizes (the low-information part of the
     # crop measurement). Constant fold only — program shape unchanged.
@@ -305,7 +310,7 @@ def main() -> None:
     cfg = TrackerConfig(
         max_tracks=MAX_TRACKS, max_dets=MAX_DETS, pre_topk=PRE_TOPK, x_range=(300.0, 800.0),
         det_step=DET_STEP, skip_step=SKIP_STEP, crop_slots=CROP_SLOTS, cd_max=CD_MAX, cs=112,
-        f_max=F_MAX,
+        f_max=F_MAX, f_init=F_INIT,
         estimate_ts_bias=TS_BIAS, approx_topk=APPROX_TOPK, det_min_level=MIN_LEVEL,
         size_nudge=SIZE_NUDGE, crop_conf_gate=CROP_CONF_GATE,
         ghost_frames=GHOST_FRAMES,

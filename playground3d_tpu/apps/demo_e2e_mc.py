@@ -150,6 +150,16 @@ def main(argv=None):
         "never gets to rescue it — so d>=6 gates sweep this",
     )
     ap.add_argument(
+        "--f-init", type=int, default=2,
+        help="output burn-in: a track is reported only once age > f_init "
+        "(reference 'frames before permanent', util_track/config f_init). "
+        "Output-mask only — tracking state/fps are untouched. At d>=6/s=2 "
+        "cadence, junk tracks born from one false detection survive 4-10 "
+        "frames before f_max kills them (vs 1-3 at d=3), so the d3-tuned "
+        "default of 2 stops suppressing them from the CSV; cadence gates "
+        "sweep this together with f_max",
+    )
+    ap.add_argument(
         "--crop-slots", type=int, default=0,
         help="live slots cropped per crop frame, oldest first (0 = all); "
         "the crop step's cost scales with this pool and at d>=6 crop "
@@ -313,7 +323,7 @@ def main(argv=None):
 
     tcfg = TrackerConfig(
         max_tracks=32, max_dets=48, pre_topk=args.pre_topk, x_range=(lo - 30, hi + 30),
-        f_init=2, sigma_d=0.25, sigma_c=0.2, f_max=args.f_max, det_step=args.det_step,
+        f_init=args.f_init, sigma_d=0.25, sigma_c=0.2, f_max=args.f_max, det_step=args.det_step,
         skip_step=args.skip_step, cd_max=args.cd_max, crop_slots=args.crop_slots,
         **({} if args.w_conf is None else {"w_conf": args.w_conf}),
         estimate_ts_bias=False, merge_dist_ft=12.0, approx_topk=args.approx_topk,

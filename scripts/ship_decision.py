@@ -49,6 +49,10 @@ SHIP_TOL = 0.02
 # the _gate variants are distinct SHIP candidates with their own gate logs;
 # ghost re-id stays report-only.
 PERF_CANDIDATES = [
+    ("d6s3_nudge_gate_fi8fm12", {"BENCH_DET_STEP": "6", "BENCH_SKIP_STEP": "3",
+                                 "BENCH_SIZE_NUDGE": "1",
+                                 "BENCH_CROP_CONF_GATE": "1",
+                                 "BENCH_F_INIT": "8", "BENCH_F_MAX": "12"}),
     ("d6s3_nudge_gate_fmax12_r2s25", {"BENCH_DET_STEP": "6",
                                       "BENCH_SKIP_STEP": "3",
                                       "BENCH_SIZE_NUDGE": "1",
@@ -81,8 +85,16 @@ PERF_CANDIDATES = [
                          "BENCH_SIZE_NUDGE": "1", "BENCH_CROP_CONF_GATE": "1"}),
     ("d6s2_nudge", {"BENCH_DET_STEP": "6", "BENCH_SKIP_STEP": "2",
                     "BENCH_SIZE_NUDGE": "1"}),
+    ("d6s2_nudge_gate_fi8fm12", {"BENCH_DET_STEP": "6", "BENCH_SKIP_STEP": "2",
+                                 "BENCH_SIZE_NUDGE": "1",
+                                 "BENCH_CROP_CONF_GATE": "1",
+                                 "BENCH_F_INIT": "8", "BENCH_F_MAX": "12"}),
     ("d5s2_nudge_gate", {"BENCH_DET_STEP": "5", "BENCH_SKIP_STEP": "2",
                          "BENCH_SIZE_NUDGE": "1", "BENCH_CROP_CONF_GATE": "1"}),
+    ("d4s2_nudge_gate_fi8fm12", {"BENCH_DET_STEP": "4", "BENCH_SKIP_STEP": "2",
+                                 "BENCH_SIZE_NUDGE": "1",
+                                 "BENCH_CROP_CONF_GATE": "1",
+                                 "BENCH_F_INIT": "8", "BENCH_F_MAX": "12"}),
     ("d4s2_nudge_gate", {"BENCH_DET_STEP": "4", "BENCH_SKIP_STEP": "2",
                          "BENCH_SIZE_NUDGE": "1", "BENCH_CROP_CONF_GATE": "1"}),
     ("d6_nudge_gate_slots16", {"BENCH_DET_STEP": "6", "BENCH_SIZE_NUDGE": "1",
