@@ -279,3 +279,74 @@ def test_ghost_reid_respects_radius_window_and_flag():
     # gap beyond f_max + ghost_frames: ghost expired
     id_b, id_a, _ = _run_gap_scenario(ghost_frames=4, gap=9)
     assert id_a != id_b
+
+
+# ---------------------------------------------------------------------------
+# output burn-in (TrackerConfig.f_init — reference "frames before permanent",
+# util_track/config; the snapshot mask is the ONLY thing f_init touches)
+# ---------------------------------------------------------------------------
+
+
+def test_f_init_burn_in_masks_young_tracks():
+    """A freshly-born track stays live (raw_mask) but is excluded from the
+    reported snapshot mask until age > f_init; once it matures it reports
+    under its ORIGINAL id (burn-in is an output mask, not a re-birth). This
+    is the junk-suppression lever the fast-cadence ship configs raise: a
+    track born from one false detection dies under f_max before its burn-in
+    expires, so it never reaches the CSV."""
+    import jax.numpy as jnp
+
+    from playground3d_tpu.pipeline.tracker_state import (
+        associate_and_update,
+        init_track_state,
+        lifecycle,
+        snapshot,
+    )
+    from playground3d_tpu.track.kf import default_params
+
+    F_INIT = 3
+    cfg = TrackerConfig(
+        max_tracks=8, max_dets=4, f_init=F_INIT, f_max=10,
+        x_range=(300.0, 2000.0), estimate_ts_bias=False,
+    )
+    kfp = default_params()
+    state = init_track_state(cfg.max_tracks)
+    v, dt = 30.0, 0.1
+    first_id = None
+    reported_at = None
+    for f in range(8):
+        t = f * dt
+        det = _one_det(500.0 + v * t, t)
+        state, _, _ = associate_and_update(state, det, jnp.float32(t), kfp, cfg)
+        state = lifecycle(state, jnp.float32(t), kfp, cfg)
+        snap = snapshot(state, jnp.float32(t), kfp, cfg)
+        raw = np.asarray(snap.raw_mask)
+        out = np.asarray(snap.mask)
+        assert raw.sum() == 1  # the track is live from frame 0
+        if first_id is None:
+            first_id = int(np.asarray(state.ids)[raw][0])
+        age = int(np.asarray(state.age)[raw][0])
+        if age <= F_INIT:
+            assert out.sum() == 0  # burn-in: not reported yet
+        else:
+            assert out.sum() == 1  # matured: reported ...
+            if reported_at is None:
+                reported_at = f
+            assert int(np.asarray(snap.ids)[out][0]) == first_id  # ... same id
+    assert reported_at is not None  # the track did mature within the clip
+    # raising f_init only masks output — the underlying state is identical
+    # (same association path), so a high-f_init config is fps/state-neutral
+    cfg_hi = TrackerConfig(
+        max_tracks=8, max_dets=4, f_init=100, f_max=10,
+        x_range=(300.0, 2000.0), estimate_ts_bias=False,
+    )
+    s2 = init_track_state(cfg_hi.max_tracks)
+    for f in range(8):
+        t = f * dt
+        det = _one_det(500.0 + v * t, t)
+        s2, _, _ = associate_and_update(s2, det, jnp.float32(t), kfp, cfg_hi)
+        s2 = lifecycle(s2, jnp.float32(t), kfp, cfg_hi)
+    np.testing.assert_allclose(np.asarray(state.kf.x), np.asarray(s2.kf.x))
+    snap2 = snapshot(s2, jnp.float32(t), kfp, cfg_hi)
+    assert int(np.asarray(snap2.mask).sum()) == 0  # never matured: silent
+    assert int(np.asarray(snap2.raw_mask).sum()) == 1  # but still tracked
