@@ -268,6 +268,10 @@ def main() -> None:
     # The d>=4/s=2 candidates raise it so junk tracks that survive a
     # detection gap never reach the output CSV.
     F_INIT = int(_knob("BENCH_F_INIT", "5"))  # 5 = TrackerConfig default (what every prior bench ran)
+    # tentative-kill: first failed attempt while age <= this is fatal
+    # (junk-track suppressor for the fast cadences; 0 = reference rule).
+    # Mask/compare only — program shape unchanged, fps-neutral.
+    TENTATIVE_AGE = int(_knob("BENCH_TENTATIVE_AGE", "0"))
     # crop measurement noise scale on the l,w,h components (KFParams.R2);
     # >1 de-weights crop-derived sizes (the low-information part of the
     # crop measurement). Constant fold only — program shape unchanged.
@@ -310,7 +314,7 @@ def main() -> None:
     cfg = TrackerConfig(
         max_tracks=MAX_TRACKS, max_dets=MAX_DETS, pre_topk=PRE_TOPK, x_range=(300.0, 800.0),
         det_step=DET_STEP, skip_step=SKIP_STEP, crop_slots=CROP_SLOTS, cd_max=CD_MAX, cs=112,
-        f_max=F_MAX, f_init=F_INIT,
+        f_max=F_MAX, f_init=F_INIT, tentative_age=TENTATIVE_AGE,
         estimate_ts_bias=TS_BIAS, approx_topk=APPROX_TOPK, det_min_level=MIN_LEVEL,
         size_nudge=SIZE_NUDGE, crop_conf_gate=CROP_CONF_GATE,
         ghost_frames=GHOST_FRAMES,

@@ -160,6 +160,15 @@ def main(argv=None):
         "sweep this together with f_max",
     )
     ap.add_argument(
+        "--tentative-age", type=int, default=0,
+        help="tentative-kill: one failed re-detection attempt while "
+        "age <= this kills the track outright (no re-id ghost). Junk "
+        "tracks born from a single false detection die in 1-2 frames — "
+        "inside the f_init burn-in — instead of surviving f_max attempts "
+        "(4-10 reported FP frames at d>=6/s=2 cadence); confirmed tracks "
+        "are untouched. 0 = reference rule (f_max uniformly)",
+    )
+    ap.add_argument(
         "--crop-slots", type=int, default=0,
         help="live slots cropped per crop frame, oldest first (0 = all); "
         "the crop step's cost scales with this pool and at d>=6 crop "
@@ -324,6 +333,7 @@ def main(argv=None):
     tcfg = TrackerConfig(
         max_tracks=32, max_dets=48, pre_topk=args.pre_topk, x_range=(lo - 30, hi + 30),
         f_init=args.f_init, sigma_d=0.25, sigma_c=0.2, f_max=args.f_max, det_step=args.det_step,
+        tentative_age=args.tentative_age,
         skip_step=args.skip_step, cd_max=args.cd_max, crop_slots=args.crop_slots,
         **({} if args.w_conf is None else {"w_conf": args.w_conf}),
         estimate_ts_bias=False, merge_dist_ft=12.0, approx_topk=args.approx_topk,

@@ -408,6 +408,14 @@ def lifecycle(
     # with no budget pressure misses == fsld and this is the reference rule.
     die_fsld = live & (state.misses >= cfg.f_max)
     die = die_fsld
+    if cfg.tentative_age > 0:
+        # tentative-kill (see TrackerConfig.tentative_age): one failed
+        # attempt while age <= tentative_age is fatal. Not part of
+        # die_fsld on purpose — a tentative death is for-cause (the
+        # track was never confirmed) and must not leave a re-id ghost.
+        die = die | (
+            live & (state.age <= cfg.tentative_age) & (state.misses >= 1)
+        )
 
     # anomalies, evaluated on states rolled to t_ref
     dt = jnp.where(live, t_ref - state.t_off, 0.0)

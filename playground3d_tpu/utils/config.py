@@ -75,6 +75,16 @@ class TrackerConfig:
     # f_max does. 0 disables (reference behavior).
     ghost_frames: int = 0
     ghost_r_ft: float = 15.0
+    # extension beyond the reference: tentative-kill. While a track is
+    # younger than this (frames), its FIRST failed re-detection attempt
+    # kills it outright instead of letting it ride misses up to f_max.
+    # Junk tracks born from a single false detection die within 1-2
+    # frames (inside the f_init output burn-in, so they never reach the
+    # CSV) instead of surviving ~f_max attempts; a confirmed track's
+    # coverage is untouched because confirmation == its first attempts
+    # succeeded. Dies for-cause: no re-id ghost is left. 0 disables
+    # (reference behavior: MC3D:463-477 applies f_max uniformly).
+    tentative_age: int = 0
 
     # capacities (fixed shapes on device)
     max_tracks: int = 128

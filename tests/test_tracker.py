@@ -350,3 +350,64 @@ def test_f_init_burn_in_masks_young_tracks():
     snap2 = snapshot(s2, jnp.float32(t), kfp, cfg_hi)
     assert int(np.asarray(snap2.mask).sum()) == 0  # never matured: silent
     assert int(np.asarray(snap2.raw_mask).sum()) == 1  # but still tracked
+
+
+def test_tentative_kill_rule():
+    """tentative_age > 0: a track's first failed re-detection attempt while
+    age <= tentative_age kills it outright (and leaves NO re-id ghost);
+    with the default 0 the same junk track rides misses all the way to
+    f_max (reference rule). A track confirmed past tentative_age keeps the
+    ordinary f_max death budget."""
+    import jax.numpy as jnp
+
+    from playground3d_tpu.pipeline.tracker_state import (
+        associate_and_update,
+        init_track_state,
+        lifecycle,
+    )
+    from playground3d_tpu.track.kf import default_params
+
+    kfp = default_params()
+    v, dt = 30.0, 0.1
+
+    def run(tentative_age, confirm_frames, gap_frames, ghost_frames=0):
+        cfg = TrackerConfig(
+            max_tracks=8, max_dets=4, f_init=2, f_max=10,
+            tentative_age=tentative_age, ghost_frames=ghost_frames,
+            ghost_r_ft=15.0, x_range=(300.0, 2000.0), estimate_ts_bias=False,
+        )
+        state = init_track_state(cfg.max_tracks)
+        f = 0
+        for _ in range(confirm_frames):  # birth (+ optional confirmations)
+            t = f * dt
+            det = _one_det(500.0 + v * t, t)
+            state, _, _ = associate_and_update(state, det, jnp.float32(t), kfp, cfg)
+            state = lifecycle(state, jnp.float32(t), kfp, cfg)
+            f += 1
+        frames_alive = 0
+        for _ in range(gap_frames):  # failed attempts
+            t = f * dt
+            state, _, _ = associate_and_update(state, _no_det(t), jnp.float32(t), kfp, cfg)
+            state = lifecycle(state, jnp.float32(t), kfp, cfg)
+            f += 1
+            if int(np.asarray(state.kf.mask).sum()):
+                frames_alive += 1
+        ghost_ids = int((np.asarray(state.ids) >= 0).sum()) - int(
+            np.asarray(state.kf.mask).sum()
+        )
+        return frames_alive, ghost_ids
+
+    # junk (born from ONE detection, never re-detected):
+    alive_ref, _ = run(tentative_age=0, confirm_frames=1, gap_frames=12)
+    assert alive_ref >= 9  # reference rule: survives ~f_max attempts
+    alive_ta, ghosts = run(tentative_age=4, confirm_frames=1, gap_frames=12)
+    assert alive_ta <= 1  # tentative-kill: dead at the first failed attempt
+    assert ghosts == 0
+    # ... and a tentative death leaves no ghost even when ghosts are on
+    _, ghosts = run(tentative_age=4, confirm_frames=1, gap_frames=3, ghost_frames=8)
+    assert ghosts == 0
+    # confirmed track (re-detected past tentative_age): its gap survival
+    # must match the reference rule exactly (same f_max budget). The extra
+    # confirm frames only shift WHEN the gap starts, not the budget.
+    alive_conf, _ = run(tentative_age=4, confirm_frames=6, gap_frames=12)
+    assert alive_conf == alive_ref
