@@ -265,7 +265,12 @@ def main(argv=None):
     os.replace(tmp, path)
     print(f"wrote {path}", file=sys.stderr)
     if args.commit:
-        subprocess.run(["git", "-C", REPO, "add", "bench_config.json"], check=True)
+        # capture git's output and forward it to stderr: stdout must stay
+        # pure JSON ('ship_decision.py > x.json' is how the chains call
+        # this, and a trailing '[main abc] ...' commit summary makes
+        # json.load fail — chain9 lost its upside branch to exactly that)
+        subprocess.run(["git", "-C", REPO, "add", "bench_config.json"],
+                       check=True, capture_output=True)
         r = subprocess.run(
             ["git", "-C", REPO, "commit", "-m",
              f"Ship {cfg['tag']} as the benched default cadence config\n\n"
@@ -273,7 +278,10 @@ def main(argv=None):
              f"{cfg['quality_gate']['dMOTA']:+.3f}, sem "
              f"{cfg['quality_gate']['sem']:.3f}, tol {SHIP_TOL}); {cfg['basis']}. "
              "bench.py reads bench_config.json as its default knobs."],
+            capture_output=True, text=True,
         )
+        sys.stderr.write(r.stdout)
+        sys.stderr.write(r.stderr)
         print(f"commit rc={r.returncode}", file=sys.stderr)
     return 0
 
