@@ -49,6 +49,18 @@ SHIP_TOL = 0.02
 # the _gate variants are distinct SHIP candidates with their own gate logs;
 # ghost re-id stays report-only.
 PERF_CANDIDATES = [
+    ("d12s3_nudge_gate_ta4", {"BENCH_DET_STEP": "12", "BENCH_SKIP_STEP": "3",
+                              "BENCH_SIZE_NUDGE": "1",
+                              "BENCH_CROP_CONF_GATE": "1",
+                              "BENCH_TENTATIVE_AGE": "4"}),
+    ("d8s3_nudge_gate_ta4", {"BENCH_DET_STEP": "8", "BENCH_SKIP_STEP": "3",
+                             "BENCH_SIZE_NUDGE": "1",
+                             "BENCH_CROP_CONF_GATE": "1",
+                             "BENCH_TENTATIVE_AGE": "4"}),
+    ("d8s2_nudge_gate_ta4", {"BENCH_DET_STEP": "8", "BENCH_SKIP_STEP": "2",
+                             "BENCH_SIZE_NUDGE": "1",
+                             "BENCH_CROP_CONF_GATE": "1",
+                             "BENCH_TENTATIVE_AGE": "4"}),
     ("d6s3_nudge_gate_ta4", {"BENCH_DET_STEP": "6", "BENCH_SKIP_STEP": "3",
                              "BENCH_SIZE_NUDGE": "1",
                              "BENCH_CROP_CONF_GATE": "1",
