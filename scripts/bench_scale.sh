@@ -34,10 +34,18 @@ run_bench() {
   env BENCH_TPU_WAIT_SECS=120 BENCH_RUN_TIMEOUT=1500 $@ timeout 1800 python bench.py >>"$LOG" 2>&1
 }
 
-run_bench d3_pool64   BENCH_MAX_TRACKS=64  BENCH_MAX_DETS=48  BENCH_CROP_SLOTS=32
-run_bench d3_pool128  BENCH_MAX_TRACKS=128 BENCH_MAX_DETS=96  BENCH_CROP_SLOTS=64
-run_bench d3_pool256  BENCH_MAX_TRACKS=256 BENCH_MAX_DETS=192 BENCH_CROP_SLOTS=128
-run_bench d6_pool64   BENCH_DET_STEP=6 BENCH_SIZE_NUDGE=1 BENCH_MAX_TRACKS=64  BENCH_MAX_DETS=48  BENCH_CROP_SLOTS=32
-run_bench d6_pool128  BENCH_DET_STEP=6 BENCH_SIZE_NUDGE=1 BENCH_MAX_TRACKS=128 BENCH_MAX_DETS=96  BENCH_CROP_SLOTS=64
-run_bench d6_pool256  BENCH_DET_STEP=6 BENCH_SIZE_NUDGE=1 BENCH_MAX_TRACKS=256 BENCH_MAX_DETS=192 BENCH_CROP_SLOTS=128
+# Pin EVERY cadence knob per row: bench.py resolves unset knobs from
+# bench_config.json (the shipped config), so an unpinned "d3" row would
+# silently run the shipped cadence. (The 2026-08-19 capture predates this
+# pinning — its d3_pool*/d6_pool* rows all measured the shipped
+# d6s2_nudge_gate_ta4 config at the stated pool sizes; the two label sets
+# agree with each other, which confirms exactly that.)
+D3=(BENCH_DET_STEP=3 BENCH_SKIP_STEP=1 BENCH_SIZE_NUDGE=0 BENCH_CROP_CONF_GATE=0 BENCH_TENTATIVE_AGE=0)
+D6=(BENCH_DET_STEP=6 BENCH_SKIP_STEP=1 BENCH_SIZE_NUDGE=1 BENCH_CROP_CONF_GATE=0 BENCH_TENTATIVE_AGE=0)
+run_bench d3_pool64   "${D3[@]}" BENCH_MAX_TRACKS=64  BENCH_MAX_DETS=48  BENCH_CROP_SLOTS=32
+run_bench d3_pool128  "${D3[@]}" BENCH_MAX_TRACKS=128 BENCH_MAX_DETS=96  BENCH_CROP_SLOTS=64
+run_bench d3_pool256  "${D3[@]}" BENCH_MAX_TRACKS=256 BENCH_MAX_DETS=192 BENCH_CROP_SLOTS=128
+run_bench d6_pool64   "${D6[@]}" BENCH_MAX_TRACKS=64  BENCH_MAX_DETS=48  BENCH_CROP_SLOTS=32
+run_bench d6_pool128  "${D6[@]}" BENCH_MAX_TRACKS=128 BENCH_MAX_DETS=96  BENCH_CROP_SLOTS=64
+run_bench d6_pool256  "${D6[@]}" BENCH_MAX_TRACKS=256 BENCH_MAX_DETS=192 BENCH_CROP_SLOTS=128
 echo "=== bench scale done ($(date)) ===" >>"$LOG"
