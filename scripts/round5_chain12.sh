@@ -1,0 +1,116 @@
+#!/bin/bash
+# Round-5 chain, phase 12: re-attempt the d8s3 upside rung after the driver
+# restart wiped _outputs (trained checkpoints + all gate evidence).
+#
+# chain11 never ran its rungs: a full re-certification (retrain the
+# 5000/6000-step gate nets + 15-run paired d3 baseline + 15-run candidate
+# gate) did not fit session-4's remaining wall. This session starts with a
+# full budget, so the attempt is made ONCE, end to end, with the SAME
+# evidence bar that certified the shipped d6s3_nudge_gate_ta4 (no
+# thin-evidence shortcuts):
+#
+#   S1 train mc_{det,crop}.npz to 5000/6000 steps (resumable, 500-step ckpts)
+#   S2 gate_d3 baseline: 5 scenes x 3 render seeds on those nets
+#   S3 gate_d8s3_nudge_gate_ta4: same 15 paired runs
+#   S4 bench_candidate d8s3 + ship_decision --commit (moves bench_config.json
+#      ONLY on a SHIPPABLE paired verdict with measured fps > d3 baseline)
+#   S5 if d8s3 shipped and budget remains: rung 2, d12s3_nudge_gate_ta4
+#
+# Hard safety: gates run ONLY if training actually reached 5000/6000 — a
+# weaker-net gate would not be comparable to the committed certification and
+# replacing certified evidence with thin evidence weakens the record
+# (ROUND_NOTES session-4 lesson). If the budget runs out at any stage, the
+# committed d6s3 ship (908.3 fps) simply stands.
+set -u
+cd /root/repo
+. scripts/sprint_lib.sh
+
+sprint_deadline "${CHAIN_BUDGET:-5400}"
+
+DET=_outputs/mc_det.npz
+CROP=_outputs/mc_crop.npz
+DET_STEPS=${DET_STEPS:-5000}
+CROP_STEPS=${CROP_STEPS:-6000}
+# wall to hold back for S2-S4 (two 15-run gates + two bench captures)
+GATE_RESERVE=${GATE_RESERVE:-3700}
+
+# ---- S1: budget-aware resumable training -------------------------------------
+while :; do
+  dstep=$(cat "$DET.step" 2>/dev/null || echo 0)
+  cstep=$(cat "$CROP.step" 2>/dev/null || echo 0)
+  if [ "$dstep" -ge "$DET_STEPS" ] && [ "$cstep" -ge "$CROP_STEPS" ]; then
+    note "training done (det=$dstep crop=$cstep)"
+    break
+  fi
+  avail=$(( $(sprint_left) - GATE_RESERVE ))
+  if [ "$avail" -lt 240 ]; then
+    note "training out of budget at det=$dstep crop=$cstep"
+    break
+  fi
+  wait_for_tpu || { note "TPU never came back"; exit 1; }
+  note "training toward det=$DET_STEPS crop=$CROP_STEPS (det=$dstep crop=$cstep, ${avail}s available)"
+  timeout "$avail" python -m playground3d_tpu.apps.demo_e2e_mc \
+    --steps "$DET_STEPS" --crop-steps "$CROP_STEPS" --batch 4 \
+    --resume --sequences 0 --out-prefix /root/repo/_outputs/mc \
+    >>_outputs/train_r5.log 2>&1 || true
+done
+
+dstep=$(cat "$DET.step" 2>/dev/null || echo 0)
+cstep=$(cat "$CROP.step" 2>/dev/null || echo 0)
+if [ "$dstep" -lt "$DET_STEPS" ] || [ "$cstep" -lt "$CROP_STEPS" ]; then
+  note "ABORT gates: nets at det=$dstep crop=$cstep < $DET_STEPS/$CROP_STEPS — a weaker-net gate is not comparable to the committed certification; shipped d6s3 stands"
+  exit 0
+fi
+
+# ---- S2 + S3: 15-run paired gates (same bar as the d6s3 certification) --------
+COMMON=(--det-ckpt "$DET" --crop-ckpt "$CROP" --batch 4 --frames 120
+        --cd-max 8 --sequences 5 --track-seeds 3 --depth 18
+        --quantize --approx-topk)
+
+run_stage gate_d3 1500 2700 _outputs/gate_d3.log \
+  python -m playground3d_tpu.apps.demo_e2e_mc "${COMMON[@]}" \
+  --out-prefix _outputs/g3 --det-step 3
+
+run_stage gate_d8s3_nudge_gate_ta4 1400 2700 \
+  _outputs/gate_d8s3_nudge_gate_ta4.log \
+  python -m playground3d_tpu.apps.demo_e2e_mc "${COMMON[@]}" \
+  --out-prefix _outputs/gt_d8s3ta4 --det-step 8 --skip-step 3 \
+  --size-nudge --crop-conf-gate --tentative-age 4
+
+# ---- S4: candidate fps + ship decision ----------------------------------------
+BLOG=_outputs/bench_candidates.log
+bench_candidate d3_shipped "$BLOG" BENCH_DET_STEP=3 BENCH_SKIP_STEP=1 \
+  BENCH_SIZE_NUDGE=0 BENCH_CROP_CONF_GATE=0 BENCH_TENTATIVE_AGE=0
+bench_candidate d8s3_nudge_gate_ta4 "$BLOG" \
+  BENCH_DET_STEP=8 BENCH_SKIP_STEP=3 BENCH_SIZE_NUDGE=1 \
+  BENCH_CROP_CONF_GATE=1 BENCH_TENTATIVE_AGE=4
+
+decide() {
+  python scripts/ship_decision.py _outputs --commit \
+    >_outputs/ship_decision.json 2>_outputs/ship_decision.err || true
+  note "ship decision: $(python -c "import json;print(json.load(open('_outputs/ship_decision.json'))['decision'])" 2>/dev/null || echo parse-failed)"
+}
+
+python scripts/summarize_gate.py _outputs >_outputs/gate_summary.md 2>&1 || true
+decide
+
+shipped_tag() {
+  python -c "import json;d=json.load(open('_outputs/ship_decision.json'));s=d.get('shipped');print(s['tag'] if s else '')" 2>/dev/null
+}
+
+# ---- S5: stretch rung only on top of a shipped d8s3 ---------------------------
+if [ "$(shipped_tag)" = "d8s3_nudge_gate_ta4" ]; then
+  run_stage gate_d12s3_nudge_gate_ta4 1400 2700 \
+    _outputs/gate_d12s3_nudge_gate_ta4.log \
+    python -m playground3d_tpu.apps.demo_e2e_mc "${COMMON[@]}" \
+    --out-prefix _outputs/gt_d12s3ta4 --det-step 12 --skip-step 3 \
+    --size-nudge --crop-conf-gate --tentative-age 4
+  bench_candidate d12s3_nudge_gate_ta4 "$BLOG" \
+    BENCH_DET_STEP=12 BENCH_SKIP_STEP=3 BENCH_SIZE_NUDGE=1 \
+    BENCH_CROP_CONF_GATE=1 BENCH_TENTATIVE_AGE=4
+  python scripts/summarize_gate.py _outputs >_outputs/gate_summary.md 2>&1 || true
+  decide
+fi
+
+bench_candidate final_shipped "$BLOG"
+note "chain12 complete"
