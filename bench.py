@@ -108,8 +108,73 @@ def _fail_record(reason: str) -> None:
     )
 
 
+_CHAIN_LEASE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "_outputs", "chain_active"
+)
+
+
+def _kill_pid_tree(root: int) -> None:
+    """kill(root + live descendants), children first, by explicit /proc walk.
+
+    Never kills by name pattern; only the exact PID tree rooted at the chain
+    process that registered itself in the lease file.
+    """
+    children = {}
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        try:
+            with open(f"/proc/{entry}/stat") as fh:
+                ppid = int(fh.read().split(")")[-1].split()[1])
+        except (OSError, ValueError, IndexError):
+            continue
+        children.setdefault(ppid, []).append(int(entry))
+    order = []
+    stack = [root]
+    while stack:
+        p = stack.pop()
+        order.append(p)
+        stack.extend(children.get(p, []))
+    for sig in (15, 9):
+        for p in reversed(order):  # children first
+            try:
+                os.kill(p, sig)
+            except (ProcessLookupError, PermissionError):
+                pass
+        if sig == 15:
+            time.sleep(5.0)
+
+
+def _evict_chain_lease() -> None:
+    """Free the chip from a still-running gate/training chain.
+
+    The round-end driver capture runs `python bench.py` while a long
+    self-resuming certification chain may still hold the TPU (training is
+    checkpoint-resumable, so killing it is always safe; time-sharing the
+    chip would depress the recorded headline instead — the round-4 failure
+    mode). The chain registers its root PID in _outputs/chain_active and
+    bench.py's outer guard evicts that exact PID tree before measuring.
+    Chain-internal candidate benches set CHAIN_BENCH=1 to skip eviction.
+    """
+    if os.environ.get("CHAIN_BENCH") == "1":
+        return
+    try:
+        with open(_CHAIN_LEASE) as fh:
+            pid = int(fh.read().strip())
+    except (OSError, ValueError):
+        return
+    if pid > 1 and os.path.isdir(f"/proc/{pid}"):
+        sys.stderr.write(f"bench: evicting chain lease pid={pid}\n")
+        _kill_pid_tree(pid)
+    try:
+        os.unlink(_CHAIN_LEASE)
+    except OSError:
+        pass
+
+
 def _run_guarded() -> None:
     """Wait (bounded) for the TPU, then run main() in a watchdogged child."""
+    _evict_chain_lease()
     wait_budget = float(os.environ.get("BENCH_TPU_WAIT_SECS", "1800"))
     run_timeout = float(os.environ.get("BENCH_RUN_TIMEOUT", "1800"))
     deadline = time.time() + wait_budget

@@ -25,7 +25,15 @@ set -u
 cd /root/repo
 . scripts/sprint_lib.sh
 
-sprint_deadline "${CHAIN_BUDGET:-5400}"
+sprint_deadline "${CHAIN_BUDGET:-10800}"
+
+# Chip lease: bench.py's outer guard (the round-end driver capture) evicts
+# this exact PID tree before measuring, so the chain can never time-share
+# the chip with the official headline run no matter when the round ends.
+# Training is checkpoint-resumable and gates re-run whole, so an eviction
+# at any point is safe. Chain-internal benches set CHAIN_BENCH=1.
+echo $$ > _outputs/chain_active
+trap 'rm -f _outputs/chain_active' EXIT
 
 DET=_outputs/mc_det.npz
 CROP=_outputs/mc_crop.npz
@@ -79,9 +87,10 @@ run_stage gate_d8s3_nudge_gate_ta4 1400 2700 \
 
 # ---- S4: candidate fps + ship decision ----------------------------------------
 BLOG=_outputs/bench_candidates.log
-bench_candidate d3_shipped "$BLOG" BENCH_DET_STEP=3 BENCH_SKIP_STEP=1 \
-  BENCH_SIZE_NUDGE=0 BENCH_CROP_CONF_GATE=0 BENCH_TENTATIVE_AGE=0
-bench_candidate d8s3_nudge_gate_ta4 "$BLOG" \
+bench_candidate d3_shipped "$BLOG" CHAIN_BENCH=1 BENCH_DET_STEP=3 \
+  BENCH_SKIP_STEP=1 BENCH_SIZE_NUDGE=0 BENCH_CROP_CONF_GATE=0 \
+  BENCH_TENTATIVE_AGE=0
+bench_candidate d8s3_nudge_gate_ta4 "$BLOG" CHAIN_BENCH=1 \
   BENCH_DET_STEP=8 BENCH_SKIP_STEP=3 BENCH_SIZE_NUDGE=1 \
   BENCH_CROP_CONF_GATE=1 BENCH_TENTATIVE_AGE=4
 
@@ -105,12 +114,12 @@ if [ "$(shipped_tag)" = "d8s3_nudge_gate_ta4" ]; then
     python -m playground3d_tpu.apps.demo_e2e_mc "${COMMON[@]}" \
     --out-prefix _outputs/gt_d12s3ta4 --det-step 12 --skip-step 3 \
     --size-nudge --crop-conf-gate --tentative-age 4
-  bench_candidate d12s3_nudge_gate_ta4 "$BLOG" \
+  bench_candidate d12s3_nudge_gate_ta4 "$BLOG" CHAIN_BENCH=1 \
     BENCH_DET_STEP=12 BENCH_SKIP_STEP=3 BENCH_SIZE_NUDGE=1 \
     BENCH_CROP_CONF_GATE=1 BENCH_TENTATIVE_AGE=4
   python scripts/summarize_gate.py _outputs >_outputs/gate_summary.md 2>&1 || true
   decide
 fi
 
-bench_candidate final_shipped "$BLOG"
+bench_candidate final_shipped "$BLOG" CHAIN_BENCH=1
 note "chain12 complete"
